@@ -1,0 +1,36 @@
+"""Pipeline configuration (≈ reference config.go:13-59).
+
+The reference loads a JSON config naming file globs, static fields per
+glob group, destination servers, the BoltDB state path, and max_length
+(/root/reference/config.go:13-42, LoadConfiguration :44-59).  The rebuild
+keeps the same shape: input glob → sources, n_sinks → destinations,
+checkpoint_dir → state file, max_length → the skip-but-advance knob.
+"""
+
+from __future__ import annotations
+
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass
+class PipelineConfig:
+    input_glob: str  # parquet files of (url, warc_ts, html, text, lang)
+    output_dir: str  # routed sink root: <output_dir>/snapshot_id=N/sink_id=i/
+    checkpoint_dir: str  # lineage table root (≈ BoltDB state file)
+    host_meta_path: str | None = None  # broadcast enrichment dimension
+    n_sinks: int = 4  # ≈ number of configured lumberjack servers
+    max_length: int = 0  # 0 = unlimited (config.go:18)
+    spread_partitions: int = 0  # per-sink write parallelism (0 = AQE decides)
+    extra: dict = field(default_factory=dict)
+
+    @classmethod
+    def from_json(cls, path: str) -> "PipelineConfig":
+        with open(path) as f:
+            raw = json.load(f)
+        known = {k: v for k, v in raw.items() if k in cls.__dataclass_fields__}
+        return cls(**known)
+
+    def to_json(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(asdict(self), f, indent=2)

@@ -1,0 +1,153 @@
+"""Snapshot/offset lineage: the checkpoint store for exact resume.
+
+The reference persists one high-water mark per tailed file in BoltDB,
+updated transactionally only after a chunk is acknowledged by the sink
+(/root/reference/bolt_snapshotter.go:44-62, supervisor.go:210-249).  The
+rebuild keeps the same contract at file granularity with an Iceberg-style
+manifest: per processed source file one lineage row
+
+    (snapshot_id, src_file, offset_start, offset_end, row_count)
+
+where ``offset_end`` is the total framed-byte high-water mark of that
+file's documents.  Commit protocol = write-audit-publish:
+
+  1. routed sink data is written to ``<out>/snapshot_id=N/`` with
+     mode=overwrite (idempotent under retry — N is deterministic);
+  2. only after every sink write succeeds is the lineage parquet published
+     via atomic rename (the ACK, ≈ lumberjack/client.go:124-136);
+  3. planning reads the committed lineage and anti-joins the input file
+     listing, so a crash between (1) and (2) reprocesses those files into
+     the SAME snapshot id, overwriting the partial output — no dupes, no
+     gaps.  Readers must go through :func:`read_committed`.
+
+On a real deployment this store is an Iceberg table and (1)+(2) collapse
+into one atomic snapshot commit; the interface here is deliberately thin
+so ``format("iceberg")`` drops in.
+"""
+
+from __future__ import annotations
+
+import glob as globmod
+import os
+import uuid
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+def normalize_path(p: str) -> str:
+    """``file:///x`` URIs (from ``_metadata.file_path``) → plain ``/x``."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    return p
+
+
+LINEAGE_SCHEMA = pa.schema(
+    [
+        ("snapshot_id", pa.int64()),
+        ("src_file", pa.string()),
+        ("offset_start", pa.int64()),
+        ("offset_end", pa.int64()),
+        ("row_count", pa.int64()),
+    ]
+)
+
+
+class LineageStore:
+    """Driver-side manifest of committed snapshots (small metadata)."""
+
+    def __init__(self, checkpoint_dir: str):
+        self.dir = os.path.join(checkpoint_dir, "lineage")
+        os.makedirs(self.dir, exist_ok=True)
+
+    def _files(self) -> list[str]:
+        return sorted(globmod.glob(os.path.join(self.dir, "snapshot_*.parquet")))
+
+    def read_all(self) -> pa.Table:
+        files = self._files()
+        if not files:
+            return LINEAGE_SCHEMA.empty_table()
+        return pa.concat_tables([pq.read_table(f) for f in files])
+
+    def committed_snapshots(self) -> list[int]:
+        t = self.read_all()
+        return sorted(set(t.column("snapshot_id").to_pylist()))
+
+    def processed_files(self) -> set[str]:
+        return set(self.read_all().column("src_file").to_pylist())
+
+    def next_snapshot_id(self) -> int:
+        snaps = self.committed_snapshots()
+        return (snaps[-1] + 1) if snaps else 1
+
+    def commit(self, snapshot_id: int, rows: list[dict]) -> str:
+        """Publish lineage rows atomically (tmp file + rename = the ACK)."""
+        table = pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
+        final = os.path.join(self.dir, f"snapshot_{snapshot_id:012d}.parquet")
+        tmp = final + f".tmp-{uuid.uuid4().hex}"
+        pq.write_table(table, tmp, compression="zstd")
+        os.replace(tmp, final)
+        return final
+
+
+def plan_new_files(store: LineageStore, input_glob: str) -> list[str]:
+    """Source admission: glob minus already-committed files.
+
+    ≈ the reference's dedupe + fully-consumed skip
+    (/root/reference/supervisor.go:286-313); since parquet files are
+    immutable we admit at file granularity (offset_end == file end always).
+    """
+    seen = store.processed_files()
+    return sorted(f for f in globmod.glob(input_glob) if f not in seen)
+
+
+def lineage_rows_for(df: DataFrame, snapshot_id: int) -> list[dict]:
+    """Aggregate per-file lineage from an extracted DataFrame.
+
+    ``df`` must carry ``src_file`` and ``bytes_read`` columns (extract.py).
+    offset_end = sum of framed bytes = the file's high-water-mark analog.
+    """
+    agg = (
+        df.groupBy("src_file")
+        .agg(
+            F.count("*").alias("row_count"),
+            F.sum("bytes_read").alias("offset_end"),
+        )
+        .collect()
+    )
+    return [
+        {
+            "snapshot_id": snapshot_id,
+            "src_file": normalize_path(r["src_file"]),
+            "offset_start": 0,
+            "offset_end": int(r["offset_end"] or 0),
+            "row_count": int(r["row_count"]),
+        }
+        for r in agg
+    ]
+
+
+def read_committed(
+    spark: SparkSession, store: LineageStore, output_dir: str
+) -> DataFrame | None:
+    """Read routed output restricted to COMMITTED snapshots only.
+
+    A crashed run may leave a complete-looking but unpublished
+    ``snapshot_id=N`` directory; filtering by the lineage manifest is what
+    makes the pipeline effectively-once for downstream readers.
+    """
+    snaps = store.committed_snapshots()
+    if not snaps:
+        return None
+    paths = [
+        p
+        for i in snaps
+        if os.path.isdir(p := os.path.join(output_dir, f"snapshot_id={i}"))
+    ]
+    if not paths:
+        return None
+    df = spark.read.option("basePath", output_dir).parquet(*paths)
+    return df

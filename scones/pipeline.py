@@ -1,0 +1,125 @@
+"""End-to-end pipeline wiring (≈ cmd/butteredscones/butteredscones.go:18-96).
+
+One snapshot run = the reference's full data path re-expressed as a single
+declarative DataFrame plan:
+
+    plan new files (lineage anti-join)             ≈ glob + HWM skip (O1/O2)
+    → read parquet (+ _metadata.file_path)         ≈ open + seek
+    → mapInArrow extract (framing, max_length)     ≈ read()/frame (O3/O4/O5)
+    → broadcast host_meta join                     ≈ static fields (O6)
+    → sink_id = crc32(url) % k                     ≈ routing (O9)
+    → observe metrics                              ≈ statistics (O14)
+    → repartition + partitionBy(sink_id) write     ≈ ship (O7/O8/O10)
+    → publish lineage (atomic rename)              ≈ ack + Bolt txn (O11)
+
+Catalyst handles what the reference hand-built: the scan stage fuses
+extract+enrich+route in one pass over the data (no materialization
+between "operators"), AQE sizes the one shuffle, task retries replace the
+retry channel (O12), the scheduler replaces the reader pool (O13).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import PipelineConfig
+from .enrich import enrich_broadcast, with_host
+from .extract import extract_documents
+from .lineage import LineageStore, lineage_rows_for, plan_new_files
+from .metrics import observed
+from .route import with_sink_id
+
+
+def build_snapshot_plan(
+    spark: SparkSession, cfg: PipelineConfig, files: list[str]
+) -> DataFrame:
+    """The logical plan for one snapshot over ``files`` (no action run)."""
+    df = (
+        spark.read.parquet(*files)
+        .withColumn("src_file", F.col("_metadata.file_path"))
+        .drop("text")  # generator-provided expectation; we produce our own
+    )
+    df = extract_documents(df, max_length=cfg.max_length)
+    if cfg.host_meta_path:
+        host_meta = spark.read.parquet(cfg.host_meta_path)
+        df = enrich_broadcast(df, host_meta)
+    else:
+        df = with_host(df)
+    return with_sink_id(df, cfg.n_sinks)
+
+
+def run_snapshot(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    fail_before_commit: bool = False,
+) -> dict:
+    """Process all not-yet-committed input files as one snapshot.
+
+    Returns a summary dict; ``{"snapshot_id": None}`` when nothing new.
+    ``fail_before_commit`` injects a crash between the sink write and the
+    lineage publish (for the resume tests — the reference's
+    crash-between-send-and-ack window, supervisor.go:191-219).
+    """
+    store = LineageStore(cfg.checkpoint_dir)
+    files = plan_new_files(store, cfg.input_glob)
+    if not files:
+        return {"snapshot_id": None, "files": [], "rows": 0}
+
+    snapshot_id = store.next_snapshot_id()
+    routed = build_snapshot_plan(spark, cfg, files)
+    routed, obs = observed(routed)
+
+    # One shuffle: co-locate by sink, spread within sink so a hot sink/host
+    # never lands on a single reducer.
+    if cfg.spread_partitions > 0:
+        routed = routed.repartition(
+            cfg.n_sinks * cfg.spread_partitions,
+            F.col("sink_id"),
+            F.pmod(F.crc32(F.encode("url", "utf-8")), F.lit(cfg.spread_partitions)),
+        )
+
+    snap_dir = os.path.join(cfg.output_dir, f"snapshot_id={snapshot_id}")
+    (
+        routed.drop("html")
+        .write.mode("overwrite")
+        .partitionBy("sink_id")
+        .parquet(snap_dir)
+    )
+
+    # Lineage from the written output (audit of what actually landed).
+    written = spark.read.parquet(snap_dir)
+    rows = lineage_rows_for(written, snapshot_id)
+
+    if fail_before_commit:
+        raise RuntimeError("injected crash between sink write and lineage commit")
+
+    store.commit(snapshot_id, rows)
+    metrics = obs.get
+    return {
+        "snapshot_id": snapshot_id,
+        "files": files,
+        "rows": int(metrics["rows"]),
+        "payload_bytes": int(metrics["payload_bytes"] or 0),
+        "approx_urls": int(metrics["approx_urls"]),
+        "output": snap_dir,
+    }
+
+
+def main() -> None:  # pragma: no cover — spark-submit entry point
+    import argparse
+
+    from .session import get_spark
+
+    p = argparse.ArgumentParser(description="scones pipeline (spark-submit)")
+    p.add_argument("--config", required=True)
+    a = p.parse_args()
+    cfg = PipelineConfig.from_json(a.config)
+    spark = get_spark(app_name="scones-pipeline")
+    print(run_snapshot(spark, cfg))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
