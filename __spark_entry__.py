@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship parse→route→aggregate pipeline on
+sf0.001.  ``queries()`` exposes every implemented operator (SURVEY.md §2
+plus the training-data ops) as (spark, sf_dir) -> DataFrame; each
+SQL-expressible one has a DuckDB oracle in ``oracle_sql()`` with exactly
+matching column names.  Non-SQL-expressible ops (Arrow extraction over
+real binary, xxhash64 simhash, multimodal stubs) are rows-only.
 """
 
 from __future__ import annotations
@@ -12,27 +13,644 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from scones import similarity, textops
+from scones.extract import extract_documents
+from scones.route import with_sink_id
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Pipeline semantics over the documents proxy table (SURVEY.md §2 O3-O14)
+# --------------------------------------------------------------------------
+
+# O3/O5: extraction roundtrip — construct html bytes from text (+"\n"),
+# run the real mapInArrow extractor, emitted text must equal the original.
+@_q(
+    "extract_roundtrip",
+    "SELECT doc_id, text AS extracted_str FROM documents",
+)
+def extract_roundtrip(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode(F.concat("text", F.lit("\n")), "utf-8").alias("html")
+    )
+    out = extract_documents(docs)
+    return out.select("doc_id", "extracted_str")
+
+
+# O4: length filter (the max_length knob) — counts per lang
+@_q(
+    "length_filter",
+    """
+    SELECT lang, COUNT(*) AS n_rows, CAST(SUM(LENGTH(text)) AS BIGINT) AS sum_chars
+    FROM documents WHERE LENGTH(text) <= 500
+    GROUP BY lang
+    """,
+)
+def length_filter(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .where(F.length("text") <= 500)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.length("text")).alias("sum_chars"),
+        )
+    )
+
+
+# O5: projection / record construction + host extraction
+@_q(
+    "projection_host",
+    """
+    SELECT regexp_extract('doc://' || source || '/' || CAST(doc_id AS VARCHAR),
+                          '^doc://([a-z0-9]+)/', 1) AS host,
+           COUNT(*) AS n_rows
+    FROM documents GROUP BY host
+    """,
+)
+def projection_host(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url",
+        F.concat(F.lit("doc://"), "source", F.lit("/"), F.col("doc_id").cast("string")),
+    )
+    return (
+        docs.select(
+            F.regexp_extract("url", r"^doc://([a-z0-9]+)/", 1).alias("host")
+        )
+        .groupBy("host")
+        .agg(F.count("*").alias("n_rows"))
+    )
+
+
+# O6: broadcast lookup enrichment (small dim join)
+_SOURCE_DIM = [(f"src{i}", ["news", "blog", "shop"][i % 3]) for i in range(20)]
+_SOURCE_DIM_SQL = ", ".join(f"('{s}', '{c}')" for s, c in _SOURCE_DIM)
+
+
+@_q(
+    "enrich_broadcast",
+    f"""
+    WITH dim(source, category) AS (VALUES {_SOURCE_DIM_SQL})
+    SELECT category, COUNT(*) AS n_rows, COUNT(DISTINCT doc_id) AS n_docs
+    FROM documents LEFT JOIN dim USING (source)
+    GROUP BY category
+    """,
+)
+def enrich_broadcast(spark, sf_dir):
+    dim = spark.createDataFrame(_SOURCE_DIM, ["source", "category"])
+    return (
+        _t(spark, sf_dir, "documents")
+        .join(F.broadcast(dim), on="source", how="left")
+        .groupBy("category")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+    )
+
+
+# O9: deterministic hash routing (portable demo on doc_id; the crc32(url)
+# production route is pinned against the Python oracle in tests/)
+@_q(
+    "route_counts",
+    """
+    SELECT CAST(doc_id % 4 AS INTEGER) AS sink_id, COUNT(*) AS n_rows,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS n_bytes, COUNT(DISTINCT doc_id) AS distinct_docs
+    FROM documents GROUP BY sink_id
+    """,
+)
+def route_counts(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("sink_id", F.pmod("doc_id", F.lit(4)).cast("int"))
+        .groupBy("sink_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.length("text")).alias("n_bytes"),
+            F.countDistinct("doc_id").alias("distinct_docs"),
+        )
+    )
+
+
+# O14 / north-star correctness aggregate: per-sink per-bucket counts
+@_q(
+    "sink_aggregates",
+    """
+    SELECT CAST(doc_id % 3 AS INTEGER) AS sink_id, lang,
+           COUNT(*) AS n_rows, CAST(SUM(LENGTH(text)) AS BIGINT) AS n_bytes,
+           COUNT(DISTINCT doc_id) AS distinct_docs
+    FROM documents GROUP BY sink_id, lang
+    """,
+)
+def sink_aggregates_q(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .withColumn("sink_id", F.pmod("doc_id", F.lit(3)).cast("int"))
+        .groupBy("sink_id", "lang")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.length("text")).alias("n_bytes"),
+            F.countDistinct("doc_id").alias("distinct_docs"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational coverage (joins / aggregates / windows the north rule adds)
+# --------------------------------------------------------------------------
+
+@_q(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 6) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 6) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "tpch_q3_like",
+    """
+    SELECT l_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+)
+def tpch_q3_like(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_q(
+    "join_region_nation",
+    """
+    SELECT r_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+)
+def join_region_nation(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@_q(
+    "window_top_orders",
+    """
+    SELECT c_mktsegment, o_orderkey, o_totalprice FROM (
+      SELECT c_mktsegment, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ) WHERE rn <= 3
+    """,
+)
+def window_top_orders(spark, sf_dir):
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .drop("rn")
+    )
+
+
+@_q(
+    "events_windowed",
+    """
+    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+           COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events GROUP BY hour_ts, event_type
+    """,
+)
+def events_windowed(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_trunc("hour", "ts").alias("hour_ts"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+@_q(
+    "events_sessions",
+    """
+    WITH gaps AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch(ts) - epoch(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    )
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM gaps GROUP BY user_id
+    """,
+)
+def events_sessions(spark, sf_dir):
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "prev_ts", F.lag("ts").over(w)
+    )
+    ev = ev.withColumn(
+        "new_session",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                > 1800
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return ev.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data ops: dedup / fingerprints / text analysis
+# --------------------------------------------------------------------------
+
+_TOKS_SQL = "list_filter(string_split(text, ' '), x -> x <> '')"
+_STOP_SQL = "[" + ", ".join(f"'{w}'" for w in textops.STOPWORDS) + "]"
+
+
+@_q(
+    "token_counts",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_tokens,
+           LENGTH(text) AS n_chars,
+           CAST(FLOOR(LENGTH(text) / 4) AS BIGINT) AS approx_bpe_tokens
+    FROM documents
+    """,
+)
+def token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(textops.tokens_col()).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        F.floor(F.length("text") / 4).cast("bigint").alias("approx_bpe_tokens"),
+    )
+
+
+@_q(
+    "quality_scores",
+    f"""
+    SELECT doc_id, lang,
+           len({_TOKS_SQL}) AS n_tokens,
+           ROUND(CASE WHEN len({_TOKS_SQL}) > 0
+                 THEN len(list_filter({_TOKS_SQL}, x -> list_contains({_STOP_SQL}, x)))
+                      / CAST(len({_TOKS_SQL}) AS DOUBLE) ELSE 0.0 END, 6) AS stopword_ratio,
+           ROUND(CASE WHEN LENGTH(text) > 0
+                 THEN (LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                      / CAST(LENGTH(text) AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio,
+           ROUND(CASE WHEN len({_TOKS_SQL}) > 0
+                 THEN list_aggregate(list_transform({_TOKS_SQL}, x -> LENGTH(x)), 'sum')
+                      / CAST(len({_TOKS_SQL}) AS DOUBLE) ELSE 0.0 END, 6) AS mean_token_len
+    FROM documents
+    """,
+)
+def quality_scores(spark, sf_dir):
+    return textops.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "lang_id",
+    f"""
+    SELECT doc_id,
+           CASE WHEN regexp_matches(text, '[\\p{{Hiragana}}\\p{{Katakana}}]') THEN 'ja'
+                WHEN regexp_matches(text, '\\p{{Han}}') THEN 'zh'
+                WHEN regexp_matches(text, '\\p{{Cyrillic}}') THEN 'ru'
+                WHEN len({_TOKS_SQL}) > 0
+                     AND len(list_filter({_TOKS_SQL}, x -> list_contains({_STOP_SQL}, x)))
+                         / CAST(len({_TOKS_SQL}) AS DOUBLE) >= 0.03 THEN 'en'
+                ELSE 'und' END AS pred_lang
+    FROM documents
+    """,
+)
+def lang_id(spark, sf_dir):
+    return textops.lang_id(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "fingerprints",
+    f"""
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' ')) AS fingerprint
+    FROM documents
+    """,
+)
+def fingerprints(spark, sf_dir):
+    return textops.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_md5, MIN(doc_id) AS rep_doc_id, COUNT(*) AS dup_count
+    FROM documents GROUP BY text_md5
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return textops.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLES_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id, {_TOKS_SQL} AS t FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id, UNNEST(list_transform(range(1, len(t) - 1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+      FROM toks WHERE len(t) >= 3
+    )
+"""
+
+
+@_q(
+    "ngram_jaccard_pairs",
+    _SHINGLES_SQL
+    + """
+    , sized AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b,
+           ROUND(inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE), 6) AS jaccard
+    FROM inter JOIN sized sa ON sa.doc_id = doc_a
+               JOIN sized sb ON sb.doc_id = doc_b
+    WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.2
+    """,
+)
+def ngram_jaccard_pairs(spark, sf_dir):
+    return textops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+
+
+@_q(
+    "minhash_signatures",
+    _SHINGLES_SQL
+    + """
+    SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+           MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+    FROM sh CROSS JOIN (SELECT UNNEST(range(0, 8)) AS seed)
+    GROUP BY doc_id, seed
+    """,
+)
+def minhash_signatures(spark, sf_dir):
+    return textops.minhash_signatures(
+        _t(spark, sf_dir, "documents"), num_hashes=8, k=3
+    )
+
+
+# MinHash-LSH near-dup: banded signature bucketing + exact-Jaccard verify.
+# Non-SQL-expressible end-to-end in one readable oracle → rows-only check;
+# its building blocks (minhash_signatures, ngram_jaccard_pairs) are both
+# oracle-checked above.
+@_q("minhash_lsh_pairs")
+def minhash_lsh_pairs(spark, sf_dir):
+    return textops.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=8,
+        band_size=2,
+        k=3,
+        threshold=0.2,
+    )
+
+
+# SimHash fingerprint (xxhash64 is Spark-side only) → rows-only check.
+@_q("simhash")
+def simhash(spark, sf_dir):
+    return textops.simhash64(_t(spark, sf_dir, "documents"), bits=16)
+
+
+# Multimodal plumbing: binary payload → Arrow-batched featurization via
+# mapInPandas.  The deterministic fake decoder (md5 fingerprint + fake
+# dims) makes the whole plumbing oracle-checkable; a real codec drops in
+# via scones.mediaops.register_decoder.
+@_q(
+    "media_features",
+    """
+    SELECT doc_id, 'text/plain' AS media_type,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           md5(text) AS feature_fp,
+           CAST(LENGTH(text) % 640 + 1 AS INTEGER) AS width,
+           CAST(LENGTH(text) % 480 + 1 AS INTEGER) AS height
+    FROM documents
+    """,
+)
+def media_features(spark, sf_dir):
+    from scones.mediaops import extract_media_features, fake_decoder
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("media"),
+        F.lit("text/plain").alias("media_type"),
+    )
+    return extract_media_features(docs, decoder=fake_decoder)
+
+
+# --------------------------------------------------------------------------
+# Embedding similarity search
+# --------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_dot_product(embedding::DOUBLE[], qe) / "
+    "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
+    "sqrt(list_dot_product(qe, qe)))"
+)
+
+
+@_q(
+    "cosine_topk",
+    f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label, ROUND({_COS_SQL}, 6) AS cos_sim
+    FROM embeddings, q WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def cosine_topk(spark, sf_dir):
+    return similarity.cosine_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10
+    )
+
+
+_BUCKET_SQL = (
+    "(CASE WHEN embedding[1] > 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN embedding[2] > 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN embedding[3] > 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN embedding[4] > 0 THEN 8 ELSE 0 END)"
+)
+
+
+@_q(
+    "ann_lsh_topk",
+    f"""
+    WITH b AS (SELECT vec_id, label, embedding, {_BUCKET_SQL} AS bucket FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS qe, bucket FROM b WHERE vec_id = 0)
+    SELECT vec_id, label, ROUND({_COS_SQL}, 6) AS cos_sim
+    FROM b JOIN q USING (bucket) WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_lsh_topk(spark, sf_dir):
+    return similarity.ann_lsh_topk(
+        _t(spark, sf_dir, "embeddings"), query_vec_id=0, k=10, n_bits=4
+    )
+
+
+@_q(
+    "embedding_near_dup",
+    f"""
+    WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings)
+    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos_sim
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) >= 0.3
+    """,
+)
+def embedding_near_dup(spark, sf_dir):
+    return similarity.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_bits=4
+    )
+
+
+# --------------------------------------------------------------------------
+# Driver contract surface
+# --------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship on sf0.001: construct html → Arrow extract → crc32 route →
+    per-sink aggregate (the full reference loop in one plan)."""
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit("doc://"), "source", F.lit("/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.encode(F.concat("text", F.lit("\n")), "utf-8").alias("html"),
+    )
+    extracted = extract_documents(docs)
+    routed = with_sink_id(extracted, n_sinks=4)
+    return routed.groupBy("sink_id", "lang").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("extracted")).alias("n_bytes"),
+        F.countDistinct("url").alias("distinct_urls"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(_ORACLES)

@@ -1,0 +1,174 @@
+"""Benchmark harness (driver contract).
+
+Measures:
+  1. flagship end-to-end parse→enrich→route→aggregate+write throughput on
+     a deterministic synthetic Common-Crawl-style corpus (scones/corpus.py,
+     size scaled to the sf of $SPARK_GRAFT_SF_DIR), at TWO parallelism
+     levels — local[8] and local[$SPARK_GRAFT_CPUS] — as the sandbox proxy
+     for N vs 4N executors (BASELINE.md), reporting docs/sec, GB/sec and
+     scaling efficiency;
+  2. per-query wall time for the headline queries() entries on the
+     $SPARK_GRAFT_SF_DIR tables (fully materialized via the noop sink).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": docs/sec at full parallelism, "unit": "sec",
+   "queries": {name: sec}, "sf": ..., "gb_per_sec": ..., "docs_per_sec_8":
+   ..., "docs_per_sec_full": ..., "scaling_efficiency": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# flagship corpus sizing: sf0.1 → 5×10^5 docs (~950 MB of html) — large
+# enough that the scaling measurement isn't dominated by fixed job
+# overheads, small enough that three parallelism levels fit the budget.
+_SF = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else 0.1
+N_DOCS = max(10_000, int(3_000_000 * _SF))
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "tpch_q3_like",
+    "join_region_nation",
+    "window_top_orders",
+    "events_windowed",
+    "events_sessions",
+    "route_counts",
+    "sink_aggregates",
+    "enrich_broadcast",
+    "length_filter",
+    "token_counts",
+    "quality_scores",
+    "lang_id",
+    "fingerprints",
+    "dedup_exact",
+    "extract_roundtrip",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "simhash",
+    "cosine_topk",
+    "ann_lsh_topk",
+    "embedding_near_dup",
+]
+
+
+def ensure_corpus() -> tuple[str, str]:
+    """Generate (once, cached) the bench corpus + host_meta."""
+    from scones.corpus import write_corpus_sharded, write_host_meta
+
+    tag = f"n{N_DOCS}"
+    corpus_dir = os.path.join(REPO, ".bench_corpus", tag)
+    meta_path = os.path.join(REPO, ".bench_corpus", "host_meta.parquet")
+    marker = os.path.join(corpus_dir, "_DONE")
+    if not os.path.exists(marker):
+        write_corpus_sharded(corpus_dir, n_docs=N_DOCS, n_files=128, seed=42)
+        open(marker, "w").write("ok")
+    if not os.path.exists(meta_path):
+        write_host_meta(meta_path, seed=42)
+    return corpus_dir, meta_path
+
+
+def run_flagship(master: str, corpus_dir: str, meta_path: str, runs: int) -> dict:
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "bench_flagship.py"),
+            "--master",
+            master,
+            "--corpus",
+            corpus_dir,
+            "--host-meta",
+            meta_path,
+            "--runs",
+            str(runs),
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def bench_queries(spark) -> dict[str, float]:
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()  # warm (plan+IO)
+        t0 = time.perf_counter()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 4)
+    return times
+
+
+def main() -> None:
+    sys.path.insert(0, REPO)
+    # 6 GB heap is plenty at bench scale; keeps the AlwaysPreTouch cost
+    # (slow page faults on this host) off the session-startup path.
+    os.environ.setdefault("SCONES_DRIVER_MEM", "6g")
+    corpus_dir, meta_path = ensure_corpus()
+
+    # Three parallelism levels → two N→4N scaling pairs.  2→8 is the
+    # bandwidth-unsaturated pair (the honest cluster-size proxy on this
+    # single box); 8→32 additionally collides with the VM's shared-DRAM
+    # ceiling (pure memcpy scales at only ~0.60 on this host — see
+    # BENCH/BASELINE.md for the hardware-ceiling analysis).
+    two = run_flagship("local[2]", corpus_dir, meta_path, runs=2)
+    low = run_flagship("local[8]", corpus_dir, meta_path, runs=3)
+    full = run_flagship(f"local[{CPUS}]", corpus_dir, meta_path, runs=3)
+    eff_2_8 = (low["docs_per_sec"] / two["docs_per_sec"]) / 4
+    eff_8_full = (full["docs_per_sec"] / low["docs_per_sec"]) / (CPUS / 8)
+    # the parallel write phase alone (excludes serial driver plan/commit,
+    # which a 10^12-row job amortizes to zero — Amdahl analysis in
+    # BENCH/BASELINE.md)
+    weff_2_8 = (low["write_docs_per_sec"] / two["write_docs_per_sec"]) / 4
+    weff_8_full = (
+        full["write_docs_per_sec"] / low["write_docs_per_sec"]
+    ) / (CPUS / 8)
+
+    from scones.session import get_spark
+
+    spark = get_spark(master=f"local[{CPUS}]", app_name="scones-bench-queries")
+    qtimes = bench_queries(spark)
+    spark.stop()
+
+    gb = full["payload_bytes"] / 1e9
+    print(
+        json.dumps(
+            {
+                "metric": "end-to-end parse→enrich→route→aggregate throughput",
+                "value": round(full["elapsed_sec"], 3),
+                "unit": "sec",
+                "queries": qtimes,
+                "sf": _SF,
+                "corpus_docs": full["rows"],
+                "docs_per_sec_2": round(two["docs_per_sec"], 1),
+                "docs_per_sec_8": round(low["docs_per_sec"], 1),
+                "docs_per_sec_full": round(full["docs_per_sec"], 1),
+                "gb_per_sec_full": round(gb / full["elapsed_sec"], 4),
+                "scaling_efficiency_2_to_8": round(eff_2_8, 3),
+                "scaling_efficiency_8_to_full": round(eff_8_full, 3),
+                "write_phase_efficiency_2_to_8": round(weff_2_8, 3),
+                "write_phase_efficiency_8_to_full": round(weff_8_full, 3),
+                "cpus_full": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

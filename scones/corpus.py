@@ -122,6 +122,38 @@ def write_corpus(
     return paths
 
 
+def _write_shard(args: tuple) -> str:
+    out_dir, f, n, seed = args
+    rows = generate_rows(n, seed=seed * 1000 + f)
+    table = pa.Table.from_pylist(rows, schema=CORPUS_SCHEMA)
+    path = os.path.join(out_dir, f"docs_{f:04d}.parquet")
+    pq.write_table(table, path, compression="zstd")
+    return path
+
+
+def write_corpus_sharded(
+    out_dir: str,
+    n_docs: int,
+    n_files: int = 32,
+    seed: int = 42,
+    processes: int = 16,
+) -> list[str]:
+    """Parallel corpus writer for bench-scale corpora (≥10^6 docs).
+
+    Each shard gets its own derived seed (urls are seed-namespaced, so
+    shards never collide); still fully deterministic for a given
+    (n_docs, n_files, seed).
+    """
+    import multiprocessing as mp
+
+    os.makedirs(out_dir, exist_ok=True)
+    per = (n_docs + n_files - 1) // n_files
+    jobs = [(out_dir, f, min(per, n_docs - f * per), seed) for f in range(n_files)]
+    jobs = [j for j in jobs if j[2] > 0]
+    with mp.Pool(processes) as pool:
+        return pool.map(_write_shard, jobs)
+
+
 def host_meta_rows(seed: int = 42) -> list[dict]:
     """Small broadcast dimension covering ~90% of hosts (FIXTURES.md §2)."""
     rng = random.Random(seed + 1)

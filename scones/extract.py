@@ -20,27 +20,38 @@ from collections.abc import Iterator
 
 import pyarrow as pa
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 # Trailing-\r-before-\n collapses to \n: equivalent to per-line
 # bytes.TrimRight(line, "\r\n") after splitting on \n (file_reader.go:80).
 _CRLF = re.compile(rb"\r+\n")
 
-EXTRACT_COLS = "extracted binary, extracted_str string, n_lines bigint, bytes_read bigint, n_skipped bigint"
+EXTRACT_COLS = "extracted binary, n_lines bigint, bytes_read bigint, n_skipped bigint"
 
 
 def _frame_doc(data: bytes, max_length: int) -> tuple[bytes, int, int, int]:
-    """Frame one document -> (text, n_lines, bytes_read, n_skipped)."""
+    """Frame one document -> (text, n_lines, bytes_read, n_skipped).
+
+    Fast path (max_length == 0): no per-line work at all — the framed
+    region is everything up to the last newline, and per-line CR/LF
+    trimming collapses to one regex sub over the region (every line
+    boundary is a ``\\n``, so trailing ``\\r+`` before it is exactly the
+    per-line TrimRight), plus an rstrip for the region's final line.
+    """
+    if max_length <= 0:
+        end = data.rfind(b"\n") + 1
+        if end == 0:
+            return b"", 0, 0, 0
+        n_lines = data.count(b"\n", 0, end)
+        text = _CRLF.sub(b"\n", data[: end - 1]).rstrip(b"\r")
+        return text, n_lines, end, 0
     parts = data.split(b"\n")
     tail = parts.pop()  # partial trailing line: not emitted, not counted
     bytes_read = len(data) - len(tail)
-    if max_length > 0:
-        kept = [p for p in parts if len(p) + 1 <= max_length]
-        n_skipped = len(parts) - len(kept)
-        parts = kept
-    else:
-        n_skipped = 0
-    text = _CRLF.sub(b"\n", b"\n".join(parts)).rstrip(b"\r")
-    return text, len(parts), bytes_read, n_skipped
+    kept = [p for p in parts if len(p) + 1 <= max_length]
+    n_skipped = len(parts) - len(kept)
+    text = _CRLF.sub(b"\n", b"\n".join(kept)).rstrip(b"\r")
+    return text, len(kept), bytes_read, n_skipped
 
 
 def extract_documents(
@@ -75,21 +86,19 @@ def extract_documents(
                 n_skipped.append(sk)
             arrays = [batch.column(n) for n in pass_names] + [
                 pa.array(texts, pa.binary()),
-                pa.array(
-                    [t.decode("utf-8", errors="replace") for t in texts],
-                    pa.string(),
-                ),
                 pa.array(n_lines, pa.int64()),
                 pa.array(bytes_read, pa.int64()),
                 pa.array(n_skipped, pa.int64()),
             ]
             yield pa.RecordBatch.from_arrays(
                 arrays,
-                pass_names
-                + ["extracted", "extracted_str", "n_lines", "bytes_read", "n_skipped"],
+                pass_names + ["extracted", "n_lines", "bytes_read", "n_skipped"],
             )
 
-    return df.mapInArrow(run, out_schema)
+    out = df.mapInArrow(run, out_schema)
+    # Lossy string view decoded JVM-side (keeps the Arrow transfer binary-only;
+    # the byte-identical contract lives on `extracted`).
+    return out.withColumn("extracted_str", F.col("extracted").cast("string"))
 
 
 def explode_lines(

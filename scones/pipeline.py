@@ -63,6 +63,9 @@ def run_snapshot(
     lineage publish (for the resume tests — the reference's
     crash-between-send-and-ack window, supervisor.go:191-219).
     """
+    import time as _time
+
+    t_start = _time.perf_counter()
     store = LineageStore(cfg.checkpoint_dir)
     files = plan_new_files(store, cfg.input_glob)
     if not files:
@@ -71,6 +74,7 @@ def run_snapshot(
     snapshot_id = store.next_snapshot_id()
     routed = build_snapshot_plan(spark, cfg, files)
     routed, obs = observed(routed)
+    t_planned = _time.perf_counter()
 
     # One shuffle: co-locate by sink, spread within sink so a hot sink/host
     # never lands on a single reducer.
@@ -82,12 +86,15 @@ def run_snapshot(
         )
 
     snap_dir = os.path.join(cfg.output_dir, f"snapshot_id={snapshot_id}")
+    # extracted_str is derivable (cast(extracted as string)) — writing it
+    # would double the payload bytes on every sink.
     (
-        routed.drop("html")
+        routed.drop("html", "extracted_str")
         .write.mode("overwrite")
         .partitionBy("sink_id")
         .parquet(snap_dir)
     )
+    t_written = _time.perf_counter()
 
     # Lineage from the written output (audit of what actually landed).
     written = spark.read.parquet(snap_dir)
@@ -97,6 +104,7 @@ def run_snapshot(
         raise RuntimeError("injected crash between sink write and lineage commit")
 
     store.commit(snapshot_id, rows)
+    t_done = _time.perf_counter()
     metrics = obs.get
     return {
         "snapshot_id": snapshot_id,
@@ -105,6 +113,12 @@ def run_snapshot(
         "payload_bytes": int(metrics["payload_bytes"] or 0),
         "approx_urls": int(metrics["approx_urls"]),
         "output": snap_dir,
+        # phase walls: plan (serial driver), write (the parallel job),
+        # audit+commit (serial driver) — for the Amdahl analysis in
+        # BENCH/BASELINE.md; at 10^12 rows the serial phases are noise.
+        "plan_sec": t_planned - t_start,
+        "write_sec": t_written - t_planned,
+        "audit_commit_sec": t_done - t_written,
     }
 
 

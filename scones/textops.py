@@ -1,0 +1,325 @@
+"""Training-data text operations over the ``documents`` table.
+
+Everything here is built from JVM-side ``pyspark.sql.functions`` (no
+Python UDFs) so it rides whole-stage codegen, and each op is paired with
+an ANSI-SQL oracle in __spark_entry__.py so DuckDB can replicate it
+bit-for-bit (md5 is the cross-engine hash; xxhash64 variants are the
+scale path where noted).
+
+Token contract shared by every op (and by the oracles): tokens are the
+non-empty pieces of splitting ``text`` on single spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "for", "on", "with", "as", "at", "by", "from", "this", "that",
+]
+
+
+def tokens_col(text_col: str = "text") -> Column:
+    """Non-empty space-split tokens (shared contract with the SQL oracle)."""
+    return F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+
+
+def with_tokens(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("toks", tokens_col(text_col))
+
+
+def token_counts(df: DataFrame) -> DataFrame:
+    """Per-document token count + char count (BPE-ish proxy: chars/4)."""
+    return df.select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+        (F.length("text") / F.lit(4)).cast("bigint").alias("approx_bpe_tokens"),
+    )
+
+
+def quality_scores(df: DataFrame) -> DataFrame:
+    """Heuristic quality: length, punctuation ratio, stopword ratio,
+    mean token length — the classic pretraining-filter features."""
+    toks = tokens_col()
+    n_tokens = F.size(toks)
+    stop_hits = F.size(
+        F.filter(toks, lambda x: x.isin(STOPWORDS))
+    )
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    return df.select(
+        "doc_id",
+        "lang",
+        n_tokens.alias("n_tokens"),
+        F.round(
+            F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0)), 6
+        ).alias("stopword_ratio"),
+        F.round(
+            F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)), 6
+        ).alias("punct_ratio"),
+        F.round(
+            F.when(
+                n_tokens > 0,
+                F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x))
+                / n_tokens,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("mean_token_len"),
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n-gram/script heuristic language ID.
+
+    Script detection first (CJK → zh, Cyrillic → ru, kana → ja), then an
+    English-stopword-density threshold, else 'und'.  Deterministic and
+    SQL-expressible (the oracle mirrors it with RE2 \\p{} classes).
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    has_han = F.col(text_col).rlike(r"\p{IsHan}")
+    has_kana = F.col(text_col).rlike(r"[\p{IsHiragana}\p{IsKatakana}]")
+    has_cyr = F.col(text_col).rlike(r"\p{IsCyrillic}")
+    pred = (
+        F.when(has_kana, F.lit("ja"))
+        .when(has_han, F.lit("zh"))
+        .when(has_cyr, F.lit("ru"))
+        .when(
+            (n_tokens > 0) & (stop_hits / n_tokens >= 0.03), F.lit("en")
+        )
+        .otherwise(F.lit("und"))
+    )
+    return df.select("doc_id", pred.alias("pred_lang"))
+
+
+def fingerprints(df: DataFrame) -> DataFrame:
+    """Document fingerprint: md5 over the sorted distinct token set.
+
+    Cross-engine deterministic (md5 is identical in Spark and DuckDB);
+    the content-defined identity used for exact near-canonical dedup.
+    """
+    return df.select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.array_sort(F.array_distinct(tokens_col())))
+        ).alias("fingerprint"),
+    )
+
+
+def dedup_exact(df: DataFrame) -> DataFrame:
+    """Exact dedup groups by full text: representative + group size.
+
+    Map-side partial aggregation makes this a single shuffle of
+    (text-hash → partials) — the 100 TB-safe shape. Grouping key is
+    md5(text) rather than the full text so the shuffle carries 16 bytes
+    per key, not the document body.
+    """
+    return (
+        df.groupBy(F.md5("text").alias("text_md5"))
+        .agg(
+            F.min("doc_id").alias("rep_doc_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+def shingles(df: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct k-word shingles per document (doc_id, shingle)."""
+    toks = tokens_col()
+    sh = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+        ),
+    )
+    out = df.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.when(F.size(toks) >= k, sh).otherwise(F.array()))
+        ).alias("shingle"),
+    )
+    return out
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, k: int = 3, threshold: float = 0.6
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
+
+    Self-join on shared shingles → |A∩B| per pair, then Jaccard from the
+    per-doc set sizes.  The join key is md5(shingle) (16 bytes on the
+    wire).  At scale you cap candidate fan-out by dropping shingles with
+    document frequency above a ceiling — see ``minhash_lsh_pairs`` for
+    the sub-quadratic path.
+    """
+    sh = shingles(df, k).withColumn("sh_md5", F.md5("shingle")).drop("shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, on="sh_md5")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(
+                F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")
+            ),
+            "doc_a",
+        )
+        .join(
+            sizes.select(
+                F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")
+            ),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("size_a") + F.col("size_b") - F.col("inter")),
+                6,
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures_wide(
+    df: DataFrame, num_hashes: int = 8, k: int = 3
+) -> DataFrame:
+    """MinHash signature matrix: one row per doc, one column per hash.
+
+    One groupBy(doc_id) with ``num_hashes`` min-aggregations — the shuffle
+    carries (doc_id → k partial minima), NOT the seed-exploded shingle set
+    (which would be num_hashes× the data).  Map-side partial aggregation
+    does most of the min-ing before the exchange: the 100 TB-safe shape.
+
+    md5-as-minhash keeps the construction replicable in the DuckDB
+    oracle; swap for ``F.xxhash64(lit(seed), col)`` for the faster 64-bit
+    path at production scale (same plan shape).
+    """
+    sh = shingles(df, k)
+    return sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), "shingle"))).alias(f"s{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_signatures(df: DataFrame, num_hashes: int = 8, k: int = 3) -> DataFrame:
+    """(doc_id, seed, sig) long-form view of the signature matrix."""
+    wide = minhash_signatures_wide(df, num_hashes, k)
+    pairs = ", ".join(f"{i}L, s{i}" for i in range(num_hashes))
+    return wide.selectExpr(
+        "doc_id", f"stack({num_hashes}, {pairs}) as (seed, sig)"
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sub-quadratic near-dup: band the minhash signature, bucket-join,
+    verify candidates with exact Jaccard.
+
+    Candidate generation never compares all pairs — docs only meet if a
+    whole band of their signatures collides (the LSH guarantee), so the
+    self-join key is (band, band_hash) and stays tiny even at 10^12 docs.
+    """
+    wide = minhash_signatures_wide(df, num_hashes, k)
+    n_bands = num_hashes // band_size
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.md5(
+                F.concat_ws(
+                    ",", *[f"s{b * band_size + j}" for j in range(band_size)]
+                )
+            ).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = wide.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bb")
+    ).select("doc_id", "bb.band", "bb.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    candidates = (
+        a.join(b, on=["band", "band_hash"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # Exact-verify candidates only (tiny set) with true shingle Jaccard.
+    sh = shingles(df, k).withColumn("sh_md5", F.md5("shingle")).drop("shingle")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    ia = sh.select(F.col("doc_id").alias("doc_a"), "sh_md5")
+    ib = sh.select(F.col("doc_id").alias("doc_b"), "sh_md5")
+    inter = (
+        candidates.join(ia, "doc_a")
+        .join(ib, ["doc_b", "sh_md5"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("doc_a"), F.col("set_size").alias("size_a")),
+            "doc_a",
+        )
+        .join(
+            sizes.select(F.col("doc_id").alias("doc_b"), F.col("set_size").alias("size_b")),
+            "doc_b",
+        )
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, bits: int = 16) -> DataFrame:
+    """SimHash fingerprint (xxhash64-based, JVM-side; rows-only oracle).
+
+    Per token a 64-bit hash votes ±1 on each of ``bits`` positions; the
+    sign of the per-position sum is the fingerprint bit.  Hamming-close
+    fingerprints ⇒ near-dup.  One explode + one groupBy — linear, no
+    pairwise work.
+    """
+    tok = df.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    h = tok.withColumn("h", F.xxhash64("tok"))
+    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        h.select("doc_id", "h", bitpos)
+        .withColumn(
+            "vote",
+            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
+        )
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") > 0, F.expr("1 << bit")).otherwise(0)).alias(
+            "simhash"
+        )
+    )

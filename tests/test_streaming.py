@@ -1,0 +1,107 @@
+"""Structured Streaming flavor: availableNow drain + incremental pickup
++ windowed/watermarked aggregation (SURVEY.md §2 O1)."""
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from scones.config import PipelineConfig
+from scones.corpus import CORPUS_SCHEMA, generate_rows
+from scones.oracle import extract_text, route
+from scones.streaming import (
+    run_stream_available_now,
+    stream_source,
+    windowed_host_counts,
+)
+
+N_SINKS = 3
+
+
+def _write_files(dirpath, rows, n_files, offset=0):
+    per = (len(rows) + n_files - 1) // n_files
+    for i in range(n_files):
+        chunk = rows[i * per : (i + 1) * per]
+        if chunk:
+            pq.write_table(
+                pa.Table.from_pylist(chunk, schema=CORPUS_SCHEMA),
+                f"{dirpath}/docs_{offset + i:04d}.parquet",
+            )
+
+
+def test_stream_available_now_and_incremental(spark, tmp_path, host_meta_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    rows = generate_rows(120, seed=21)
+    _write_files(str(in_dir), rows[:60], 2)
+
+    cfg = PipelineConfig(
+        input_glob=str(in_dir / "*.parquet"),
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        host_meta_path=host_meta_path,
+        n_sinks=N_SINKS,
+    )
+    run_stream_available_now(spark, cfg, str(in_dir))
+    got = spark.read.parquet(cfg.output_dir)
+    assert got.count() == 60
+
+    # Second wave: only NEW files are processed (checkpointed file log).
+    _write_files(str(in_dir), rows[60:], 2, offset=2)
+    run_stream_available_now(spark, cfg, str(in_dir))
+    result = spark.read.parquet(cfg.output_dir)
+    assert result.count() == 120
+
+    data = {r.url: (bytes(r.extracted), r.sink_id) for r in result.collect()}
+    assert len(data) == 120, "no duplicates across incremental restarts"
+    for row in rows:
+        ext, sink = data[row["url"]]
+        assert ext == extract_text(row["html"])
+        assert sink == route(row["url"], N_SINKS)
+
+
+def test_windowed_host_counts_matches_batch(spark, tmp_path):
+    in_dir = tmp_path / "win_in"
+    in_dir.mkdir()
+    rows = generate_rows(100, seed=31)
+    _write_files(str(in_dir), rows, 2)
+
+    stream = stream_source(spark, str(in_dir))
+    agg = windowed_host_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "win_ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.win.start.isoformat(), r.host): (r.n_docs, r.n_bytes)
+        for r in spark.sql("select * from win_counts").collect()
+    }
+
+    # Batch oracle: same plan over a static read.
+    from scones.enrich import with_host
+    from pyspark.sql import functions as F
+
+    static = with_host(spark.read.parquet(str(in_dir) + "/*.parquet"))
+    want = {
+        (r.ws.isoformat(), r.host): (r.n_docs, r.n_bytes)
+        for r in static.groupBy(
+            F.date_trunc("hour", "warc_ts").alias("ws"), "host"
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("html")).alias("n_bytes"),
+        )
+        .collect()
+    }
+    # append-mode emits only windows closed by the watermark; with
+    # availableNow + final watermark advance all windows should flush
+    # except possibly those within the final watermark — require subset
+    # equality on emitted keys and >0 coverage.
+    assert got, "stream emitted nothing"
+    for k, v in got.items():
+        assert want[k] == v
