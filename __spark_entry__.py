@@ -366,6 +366,82 @@ def events_sessions(spark, sf_dir):
     )
 
 
+@_q(
+    "tpch_q14_like",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
+                                  THEN l_extendedprice * (1 - l_discount)
+                                  ELSE 0 END)
+                 / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+    """,
+)
+def tpch_q14_like(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_share")
+        )
+    )
+
+
+@_q(
+    "supplier_balance_by_nation",
+    """
+    SELECT n_name, COUNT(*) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 2) AS total_bal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def supplier_balance_by_nation(spark, sf_dir):
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_suppliers"),
+            F.round(F.sum("s_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+@_q(
+    "lang_length_quantiles",
+    """
+    SELECT lang,
+           ROUND(quantile_cont(LENGTH(text), 0.5), 6) AS p50_chars,
+           ROUND(quantile_cont(LENGTH(text), 0.9), 6) AS p90_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_length_quantiles(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.round(F.percentile(F.length("text"), F.lit(0.5)), 6).alias(
+                "p50_chars"
+            ),
+            F.round(F.percentile(F.length("text"), F.lit(0.9)), 6).alias(
+                "p90_chars"
+            ),
+        )
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-data ops: dedup / fingerprints / text analysis
 # --------------------------------------------------------------------------
@@ -504,6 +580,38 @@ def minhash_signatures(spark, sf_dir):
     return textops.minhash_signatures(
         _t(spark, sf_dir, "documents"), num_hashes=8, k=3
     )
+
+
+# Near-dup corpus cleaning: drop every document that has a smaller-id
+# near-duplicate partner (the standard keep-first policy; full connected
+# components would need an iterative pass — see textops docstring).
+@_q(
+    "dedup_near_keep_min",
+    _SHINGLES_SQL
+    + """
+    , sized AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    dups AS (
+      SELECT DISTINCT doc_b FROM inter
+      JOIN sized sa ON sa.doc_id = doc_a JOIN sized sb ON sb.doc_id = doc_b
+      WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.2
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id NOT IN (SELECT doc_b FROM dups)
+    """,
+)
+def dedup_near_keep_min(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    dups = (
+        textops.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return docs.join(dups, on="doc_id", how="left_anti").select("doc_id", "lang")
 
 
 # MinHash-LSH near-dup: banded signature bucketing + exact-Jaccard verify.

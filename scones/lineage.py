@@ -130,6 +130,23 @@ def lineage_rows_for(df: DataFrame, snapshot_id: int) -> list[dict]:
     ]
 
 
+def backlog_report(store: LineageStore, input_glob: str) -> dict:
+    """Discovered-vs-committed gap (≈ the statistics endpoint's
+    ``position − snapshot_position`` per file, statistics.go:56-75):
+    how much input exists that no committed snapshot covers."""
+    discovered = sorted(globmod.glob(input_glob))
+    lineage = store.read_all().to_pylist()
+    committed = {r["src_file"] for r in lineage}
+    return {
+        "files_discovered": len(discovered),
+        "files_committed": len(committed),
+        "files_pending": [f for f in discovered if f not in committed],
+        "rows_committed": sum(r["row_count"] for r in lineage),
+        "bytes_committed": sum(r["offset_end"] for r in lineage),
+        "snapshots": store.committed_snapshots(),
+    }
+
+
 def read_committed(
     spark: SparkSession, store: LineageStore, output_dir: str
 ) -> DataFrame | None:

@@ -74,6 +74,83 @@ def run_stream_available_now(
     q.awaitTermination()
 
 
+SESSION_OUTPUT_DDL = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events int"
+)
+SESSION_STATE_DDL = "session_start double, last_ts double, n_events int"
+
+
+def stateful_sessionize(events, gap_sec: int = 1800, watermark: str = "1 second"):
+    """Custom stateful streaming operator: per-user sessionization via
+    ``applyInPandasWithState`` (the arbitrary-state API — what the
+    reference's per-file in-memory reader state would need if it were an
+    operator; SURVEY.md §2's custom-stateful row).
+
+    Sessions close when a gap > ``gap_sec`` separates consecutive events;
+    closed sessions are emitted as they are discovered, the open tail
+    session rides in the group state across micro-batches (so a user's
+    session spanning two batches is stitched, not split) and is flushed
+    by an EVENT-TIME timeout once the watermark passes last_ts + gap.
+    Event-time (not processing-time) timeouts keep the operator
+    deterministic and let ``availableNow`` terminate — a
+    processing-time timeout would re-trigger empty micro-batches forever.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def fn(key, pdfs, state):
+        (user_id,) = key
+        ts = []
+        for pdf in pdfs:
+            ts.extend((pdf["ts"].astype("int64") // 1000).tolist())  # epoch µs
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [user_id],
+                        "session_start": [pd.Timestamp(int(start), unit="us")],
+                        "session_end": [pd.Timestamp(int(last), unit="us")],
+                        "n_events": [int(n)],
+                    }
+                )
+            return
+        ts.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = float(ts[0]), float(ts[0]), 0
+        closed = []
+        for t in ts:
+            if t - last > gap_sec * 1_000_000:
+                closed.append((start, last, n))
+                start, n = float(t), 0
+            last = float(t)
+            n += 1
+        state.update((float(start), float(last), int(n)))
+        state.setTimeoutTimestamp(int(last // 1000 + gap_sec * 1000))
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(int(s), unit="us") for s, _, _ in closed],
+                    "session_end": [pd.Timestamp(int(e), unit="us") for _, e, _ in closed],
+                    "n_events": [int(c) for _, _, c in closed],
+                }
+            )
+
+    prepared = events.select("user_id", "ts").withWatermark("ts", watermark)
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn,
+        SESSION_OUTPUT_DDL,
+        SESSION_STATE_DDL,
+        "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def windowed_host_counts(
     stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -120,6 +120,24 @@ def test_incremental_snapshots_and_resume(spark, tmp_path, host_meta_path):
     assert got == want
 
 
+def test_backlog_report(spark, tmp_path, host_meta_path):
+    from scones.lineage import backlog_report
+
+    cfg = _cfg(tmp_path, host_meta_path)
+    write_corpus(str(tmp_path / "in"), n_docs=60, n_files=3, seed=13)
+    store = LineageStore(cfg.checkpoint_dir)
+    before = backlog_report(store, cfg.input_glob)
+    assert before["files_discovered"] == 3 and before["files_committed"] == 0
+    assert len(before["files_pending"]) == 3
+
+    run_snapshot(spark, cfg)
+    after = backlog_report(store, cfg.input_glob)
+    assert after["files_pending"] == []
+    assert after["rows_committed"] == 60
+    assert after["bytes_committed"] > 0
+    assert after["snapshots"] == [1]
+
+
 def test_extracted_text_byte_identical_through_pipeline(
     spark, tmp_path, host_meta_path
 ):
