@@ -127,7 +127,7 @@ def main() -> None:
     # single box); 8→32 additionally collides with the VM's shared-DRAM
     # ceiling (pure memcpy scales at only ~0.60 on this host — see
     # BENCH/BASELINE.md for the hardware-ceiling analysis).
-    two = run_flagship("local[2]", corpus_dir, meta_path, runs=2)
+    two = run_flagship("local[2]", corpus_dir, meta_path, runs=3)
     low = run_flagship("local[8]", corpus_dir, meta_path, runs=3)
     full = run_flagship(f"local[{CPUS}]", corpus_dir, meta_path, runs=3)
     eff_2_8 = (low["docs_per_sec"] / two["docs_per_sec"]) / 4

@@ -18,7 +18,9 @@ from __future__ import annotations
 import re
 from collections.abc import Iterator
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -54,6 +56,83 @@ def _frame_doc(data: bytes, max_length: int) -> tuple[bytes, int, int, int]:
     return text, len(kept), bytes_read, n_skipped
 
 
+def _frame_batch_vectorized(
+    arr: pa.Array,
+) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Vectorized framing of a whole Arrow binary column (max_length=0).
+
+    Pure numpy over the Arrow buffers — no per-document Python objects:
+      * region of doc i = its bytes up to (incl.) the last newline;
+      * extracted = region minus its final ``\\n`` minus every ``\\r``-run
+        immediately preceding a ``\\n`` (== per-line TrimRight of CR/LF,
+        file_reader.go:80);
+      * bytes_read = region length; n_lines = newline count in region.
+    Returns (extracted BinaryArray, n_lines int64, bytes_read int64).
+    """
+    if arr.null_count:
+        arr = pc.fill_null(arr, b"")
+    arr = pc.cast(arr, pa.large_binary())
+    n = len(arr)
+    offs_all = np.frombuffer(arr.buffers()[1], dtype=np.int64)
+    offs = offs_all[arr.offset : arr.offset + n + 1]
+    base = int(offs[0])
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)[base : int(offs[-1])]
+    offs = (offs - base).astype(np.int64)
+    total = data.shape[0]
+    if total == 0:
+        empty = pa.array([b""] * n, pa.binary())
+        z = np.zeros(n, dtype=np.int64)
+        return empty, z.copy(), z.copy()
+
+    nl_pos = np.flatnonzero(data == 10)
+    if nl_pos.size == 0:  # no complete line anywhere in the batch
+        empty = pa.array([b""] * n, pa.binary())
+        z = np.zeros(n, dtype=np.int64)
+        return empty, z.copy(), z.copy()
+    first_idx = np.searchsorted(nl_pos, offs[:-1], "left")
+    last_idx = np.searchsorted(nl_pos, offs[1:], "left") - 1
+    has_nl = last_idx >= first_idx
+    region_end = np.where(has_nl, nl_pos[np.maximum(last_idx, 0)] + 1, offs[:-1])
+    bytes_read = region_end - offs[:-1]
+    n_lines = np.where(has_nl, last_idx - first_idx + 1, 0).astype(np.int64)
+
+    # keep mask: region bytes, minus each region's final \n, minus
+    # \r-runs whose next byte is \n
+    delta = np.zeros(total + 1, dtype=np.int32)
+    np.add.at(delta, offs[:-1], 1)
+    np.add.at(delta, region_end, -1)
+    keep = np.cumsum(delta[:-1]) > 0
+    final_nl = region_end[has_nl] - 1
+    keep[final_nl] = False
+    cr_pos = np.flatnonzero(data == 13)
+    if cr_pos.size:
+        run_starts = np.flatnonzero(np.diff(cr_pos, prepend=-2) > 1)
+        run_ends = np.append(run_starts[1:], cr_pos.size) - 1  # idx into cr_pos
+        end_byte = cr_pos[run_ends] + 1  # byte after each run
+        followed_by_nl = (end_byte < total) & (
+            data[np.minimum(end_byte, total - 1)] == 10
+        )
+        if followed_by_nl.any():
+            crdelta = np.zeros(total + 1, dtype=np.int32)
+            np.add.at(crdelta, cr_pos[run_starts[followed_by_nl]], 1)
+            np.add.at(crdelta, end_byte[followed_by_nl], -1)
+            keep &= ~(np.cumsum(crdelta[:-1]) > 0)
+
+    out_data = data[keep]
+    csum = np.zeros(total + 1, dtype=np.int64)
+    np.cumsum(keep, out=csum[1:])
+    out_offs = csum[np.concatenate(([offs[0]], region_end))]
+    # docs with no newline produce empty output: region_end==start there,
+    # so out_offs is already monotone and correct.
+    out_offsets = out_offs.astype(np.int32)
+    extracted = pa.Array.from_buffers(
+        pa.binary(),
+        n,
+        [None, pa.py_buffer(out_offsets.tobytes()), pa.py_buffer(out_data.tobytes())],
+    )
+    return extracted, n_lines, bytes_read.astype(np.int64)
+
+
 def extract_documents(
     df: DataFrame, max_length: int = 0, html_col: str = "html"
 ) -> DataFrame:
@@ -71,25 +150,49 @@ def extract_documents(
     )
     pass_names = [f.name for f in passthrough]
 
+    import os as _os
+
+    use_vectorized = _os.environ.get("SCONES_VECTORIZED_FRAMING", "0") == "1"
+
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            html = batch.column(html_col).to_pylist()
-            texts: list[bytes] = []
-            n_lines: list[int] = []
-            bytes_read: list[int] = []
-            n_skipped: list[int] = []
-            for data in html:
-                t, nl, br, sk = _frame_doc(data or b"", max_length)
-                texts.append(t)
-                n_lines.append(nl)
-                bytes_read.append(br)
-                n_skipped.append(sk)
-            arrays = [batch.column(n) for n in pass_names] + [
-                pa.array(texts, pa.binary()),
-                pa.array(n_lines, pa.int64()),
-                pa.array(bytes_read, pa.int64()),
-                pa.array(n_skipped, pa.int64()),
-            ]
+            col = batch.column(html_col)
+            if max_length <= 0 and use_vectorized:
+                # vectorized fast path: numpy over the Arrow buffers,
+                # zero per-row Python objects
+                extracted, n_lines, bytes_read = _frame_batch_vectorized(col)
+                n_skipped = pa.array(
+                    np.zeros(len(col), dtype=np.int64), pa.int64()
+                )
+                ex_arrays = [
+                    extracted,
+                    pa.array(n_lines, pa.int64()),
+                    pa.array(bytes_read, pa.int64()),
+                    n_skipped,
+                ]
+            else:
+                # per-doc loop of C-speed bytes ops (split/rfind/sub):
+                # single-pass over each doc, minimal auxiliary memory —
+                # measured FASTER than the numpy mask kernel on this
+                # bandwidth-limited host (the mask kernel touches ~10x
+                # the payload in auxiliary arrays); both are exact.
+                texts: list[bytes] = []
+                n_lines_l: list[int] = []
+                bytes_read_l: list[int] = []
+                n_skipped_l: list[int] = []
+                for data in col.to_pylist():
+                    t, nl, br, sk = _frame_doc(data or b"", max_length)
+                    texts.append(t)
+                    n_lines_l.append(nl)
+                    bytes_read_l.append(br)
+                    n_skipped_l.append(sk)
+                ex_arrays = [
+                    pa.array(texts, pa.binary()),
+                    pa.array(n_lines_l, pa.int64()),
+                    pa.array(bytes_read_l, pa.int64()),
+                    pa.array(n_skipped_l, pa.int64()),
+                ]
+            arrays = [batch.column(n) for n in pass_names] + ex_arrays
             yield pa.RecordBatch.from_arrays(
                 arrays,
                 pass_names + ["extracted", "n_lines", "bytes_read", "n_skipped"],
