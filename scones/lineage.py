@@ -147,16 +147,45 @@ def backlog_report(store: LineageStore, input_glob: str) -> dict:
     }
 
 
+def vacuum_orphans(store: LineageStore, output_dir: str) -> list[str]:
+    """Delete snapshot output dirs that were never published (crash
+    leftovers) — safe because readers only see committed snapshots, and
+    an in-flight rerun rewrites its dir with mode=overwrite anyway.
+    Returns the removed paths."""
+    import shutil
+
+    committed = set(store.committed_snapshots())
+    removed = []
+    for p in sorted(globmod.glob(os.path.join(output_dir, "snapshot_id=*"))):
+        try:
+            sid = int(p.rsplit("=", 1)[-1])
+        except ValueError:
+            continue
+        if sid not in committed:
+            shutil.rmtree(p, ignore_errors=True)
+            removed.append(p)
+    return removed
+
+
 def read_committed(
-    spark: SparkSession, store: LineageStore, output_dir: str
+    spark: SparkSession,
+    store: LineageStore,
+    output_dir: str,
+    as_of_snapshot: int | None = None,
 ) -> DataFrame | None:
     """Read routed output restricted to COMMITTED snapshots only.
 
     A crashed run may leave a complete-looking but unpublished
     ``snapshot_id=N`` directory; filtering by the lineage manifest is what
     makes the pipeline effectively-once for downstream readers.
+
+    ``as_of_snapshot`` gives Iceberg-style time travel: read the table as
+    of that snapshot id (inclusive) — snapshots are append-only units, so
+    "as of N" = the union of snapshot dirs ≤ N.
     """
     snaps = store.committed_snapshots()
+    if as_of_snapshot is not None:
+        snaps = [s for s in snaps if s <= as_of_snapshot]
     if not snaps:
         return None
     paths = [

@@ -79,10 +79,12 @@ def run_snapshot(
     # One shuffle: co-locate by sink, spread within sink so a hot sink/host
     # never lands on a single reducer.
     if cfg.spread_partitions > 0:
+        from .route import spread_expr
+
         routed = routed.repartition(
             cfg.n_sinks * cfg.spread_partitions,
             F.col("sink_id"),
-            F.pmod(F.crc32(F.encode("url", "utf-8")), F.lit(cfg.spread_partitions)),
+            spread_expr("url", cfg.spread_partitions),
         )
 
     snap_dir = os.path.join(cfg.output_dir, f"snapshot_id={snapshot_id}")

@@ -25,6 +25,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def spread_expr(url_col: str, spread: int):
+    """Intra-sink spread key, independent of the routing hash.
+
+    Derived from crc32 of a salted url ("|s" suffix) — using the same
+    crc32(url) as sink_id would make the spread a function of the sink
+    (zero extra fan-out whenever spread == n_sinks).
+    """
+    return F.pmod(
+        F.crc32(F.encode(F.concat(F.col(url_col), F.lit("|s")), "utf-8")),
+        F.lit(spread),
+    )
+
+
 def route_expr(url_col: str, n_sinks: int):
     """sink id column expression: pmod(crc32(utf8(url)), n_sinks)."""
     return F.pmod(F.crc32(F.encode(F.col(url_col), "utf-8")), F.lit(n_sinks)).cast(
@@ -56,10 +69,7 @@ def write_routed(
         routed = routed.repartition(
             n_sinks * spread_partitions,
             F.col("sink_id"),
-            F.pmod(
-                F.crc32(F.encode(F.col(url_col), "utf-8")),
-                F.lit(spread_partitions),
-            ),
+            spread_expr(url_col, spread_partitions),
         )
     routed.write.mode("overwrite").partitionBy("sink_id").parquet(out_dir)
 
