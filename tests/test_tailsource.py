@@ -1,0 +1,114 @@
+"""Raw log tail source: byte-offset incremental framing of growing files.
+
+Ports the reference's end-to-end semantics (supervisor_test.go:12-52,
+file_reader_test.go golden numbers) to the Spark tail source.
+"""
+
+import pytest
+
+from scones.lineage import LineageStore
+from scones.tailsource import plan_tail_work, run_tail_snapshot
+
+N_SINKS = 2
+
+
+def _snap(spark, tmp_path, **kw):
+    return run_tail_snapshot(
+        spark,
+        str(tmp_path / "logs" / "*.log"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        n_sinks=N_SINKS,
+        **kw,
+    )
+
+
+def _lines(spark, tmp_path):
+    df = spark.read.option("basePath", str(tmp_path / "out")).parquet(
+        str(tmp_path / "out") + "/snapshot_id=*"
+    )
+    return sorted(
+        (r.src_file.rsplit("/", 1)[-1], bytes(r.line), r.hwm)
+        for r in df.select("src_file", "line", "hwm").collect()
+    )
+
+
+def test_basic_log_golden(spark, tmp_path):
+    (tmp_path / "logs").mkdir()
+    (tmp_path / "logs" / "basic.log").write_bytes(b"line1\nline2\n")
+    s = _snap(spark, tmp_path)
+    assert s["lines"] == 2
+    assert _lines(spark, tmp_path) == [
+        ("basic.log", b"line1", 6),
+        ("basic.log", b"line2", 12),
+    ]
+    # fully consumed → skipped (size <= hwm, supervisor.go:308-313)
+    assert _snap(spark, tmp_path)["snapshot_id"] is None
+
+
+def test_growing_file_resumes_mid_file(spark, tmp_path):
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    f = logs / "app.log"
+    f.write_bytes(b"line1\nline2\npartial")
+    s1 = _snap(spark, tmp_path)
+    assert s1["lines"] == 2
+
+    # file GROWS: the partial line completes + a CRLF line + new partial
+    with open(f, "ab") as fh:
+        fh.write(b" done\nwindows\r\nnew partial")
+    s2 = _snap(spark, tmp_path)
+    assert s2["lines"] == 2
+    assert _lines(spark, tmp_path) == [
+        ("app.log", b"line1", 6),
+        ("app.log", b"line2", 12),
+        ("app.log", b"partial done", 25),
+        ("app.log", b"windows", 34),
+    ]
+    # the trailing partial is still unconsumed → file stays planned
+    store = LineageStore(str(tmp_path / "ckpt"))
+    assert plan_tail_work(store, str(logs / "*.log")) == [(str(f), 34)]
+
+
+def test_max_length_skip_but_advance(spark, tmp_path):
+    (tmp_path / "logs").mkdir()
+    (tmp_path / "logs" / "long.log").write_bytes(b"long line\nline2\n")
+    s = _snap(spark, tmp_path, max_length=8)
+    assert s["lines"] == 1
+    # golden: position 16 after skipping the 10-byte long line
+    assert _lines(spark, tmp_path) == [("long.log", b"line2", 16)]
+
+
+def test_crash_between_write_and_commit_resumes_exactly(spark, tmp_path):
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "a.log").write_bytes(b"a1\na2\n")
+    (logs / "b.log").write_bytes(b"b1\n")
+    with pytest.raises(RuntimeError, match="injected crash"):
+        _snap(spark, tmp_path, fail_before_commit=True)
+    # nothing committed → full replan, same snapshot id, no dupes
+    s = _snap(spark, tmp_path)
+    assert s["snapshot_id"] == 1 and s["lines"] == 3
+    got = _lines(spark, tmp_path)
+    assert got == [
+        ("a.log", b"a1", 3),
+        ("a.log", b"a2", 6),
+        ("b.log", b"b1", 3),
+    ]
+
+
+def test_multiple_files_and_new_file_discovery(spark, tmp_path):
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    (logs / "one.log").write_bytes(b"x\n" * 50)
+    s1 = _snap(spark, tmp_path)
+    assert s1["lines"] == 50
+    (logs / "two.log").write_bytes(b"y\n" * 30)  # glob discovers it
+    s2 = _snap(spark, tmp_path)
+    assert s2["lines"] == 30 and s2["files"] == [str(logs / "two.log")]
+    # routing is deterministic and covers both sinks
+    df = spark.read.option("basePath", str(tmp_path / "out")).parquet(
+        str(tmp_path / "out") + "/snapshot_id=*"
+    )
+    per_sink = {r.sink_id: r.n for r in df.groupBy("sink_id").count().withColumnRenamed("count", "n").collect()}
+    assert sum(per_sink.values()) == 80 and len(per_sink) == N_SINKS
