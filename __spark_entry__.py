@@ -305,6 +305,63 @@ def window_top_orders(spark, sf_dir):
 
 
 @_q(
+    "orders_rollup",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total
+    FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        )
+    )
+
+
+@_q(
+    "docs_except",
+    """
+    SELECT doc_id FROM documents WHERE LENGTH(text) > 200
+    EXCEPT
+    SELECT doc_id FROM documents WHERE lang = 'en'
+    """,
+)
+def docs_except(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    long_docs = docs.where(F.length("text") > 200).select("doc_id")
+    en_docs = docs.where(F.col("lang") == "en").select("doc_id")
+    return long_docs.exceptAll(en_docs).distinct()
+
+
+@_q(
+    "lang_source_pivot",
+    """
+    SELECT lang,
+           COUNT(CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 1 END) AS low_src,
+           COUNT(CASE WHEN source NOT IN ('src0','src1','src2','src3','src4') THEN 1 END) AS high_src,
+           COUNT(*) AS total
+    FROM documents GROUP BY lang
+    """,
+)
+def lang_source_pivot(spark, sf_dir):
+    low = [f"src{i}" for i in range(5)]
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(
+            F.count(F.when(F.col("source").isin(low), 1)).alias("low_src"),
+            F.count(F.when(~F.col("source").isin(low), 1)).alias("high_src"),
+            F.count("*").alias("total"),
+        )
+    )
+
+
+@_q(
     "events_windowed",
     """
     SELECT date_trunc('hour', ts) AS hour_ts, event_type,

@@ -131,10 +131,31 @@ def main() -> None:  # pragma: no cover — spark-submit entry point
 
     p = argparse.ArgumentParser(description="scones pipeline (spark-submit)")
     p.add_argument("--config", required=True)
+    p.add_argument(
+        "--mode",
+        choices=["documents", "tail"],
+        default="documents",
+        help="documents: parquet corpus snapshots; tail: raw log files "
+        "with byte-offset resume (the reference's native mode)",
+    )
     a = p.parse_args()
     cfg = PipelineConfig.from_json(a.config)
     spark = get_spark(app_name="scones-pipeline")
-    print(run_snapshot(spark, cfg))
+    if a.mode == "tail":
+        from .tailsource import run_tail_snapshot
+
+        print(
+            run_tail_snapshot(
+                spark,
+                cfg.input_glob,
+                cfg.output_dir,
+                cfg.checkpoint_dir,
+                n_sinks=cfg.n_sinks,
+                max_length=cfg.max_length,
+            )
+        )
+    else:
+        print(run_snapshot(spark, cfg))
 
 
 if __name__ == "__main__":  # pragma: no cover

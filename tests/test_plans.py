@@ -94,6 +94,29 @@ def test_routing_expression_is_jvm_side(spark):
     assert "ArrowEvalPython" not in _plan(df)
 
 
+def test_routed_output_partition_pruning(spark, tmp_path):
+    """Reading one sink from the partitionBy(sink_id) layout must prune
+    partitions at plan time (scan only sink_id=1 directories)."""
+    from scones.corpus import write_corpus
+    from scones.config import PipelineConfig
+    from scones.pipeline import run_snapshot
+
+    write_corpus(str(tmp_path / "in"), n_docs=60, n_files=2, seed=71)
+    cfg = PipelineConfig(
+        input_glob=str(tmp_path / "in" / "*.parquet"),
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_sinks=3,
+    )
+    run_snapshot(spark, cfg)
+    df = spark.read.parquet(str(tmp_path / "out" / "snapshot_id=1")).where(
+        F.col("sink_id") == 1
+    )
+    plan = _plan(df)
+    scan_line = next(l for l in plan.splitlines() if "PartitionFilters" in l)
+    assert "sink_id" in scan_line.split("PartitionFilters")[1][:80]
+
+
 def test_cosine_topk_is_takeordered_not_full_sort(spark):
     """ORDER BY + LIMIT must execute as per-partition top-k + merge
     (TakeOrderedAndProject), never a global Sort of all rows."""
