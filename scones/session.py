@@ -37,6 +37,7 @@ def get_spark(
         master = f"local[{cpus}]"
     if shuffle_partitions is None:
         n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "32"
+        n = n.split(",")[0]  # local[N,maxFailures] form
         shuffle_partitions = 32 if n == "*" else max(8, int(n))
 
     mem = os.environ.get("SCONES_DRIVER_MEM", "12g")
