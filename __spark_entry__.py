@@ -364,17 +364,22 @@ def lang_source_pivot(spark, sf_dir):
 @_q(
     "events_windowed",
     """
-    SELECT date_trunc('hour', ts) AS hour_ts, event_type,
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           event_type,
            COUNT(*) AS n_events, ROUND(AVG(value), 6) AS avg_value,
            ROUND(SUM(value), 4) AS sum_value
     FROM events GROUP BY hour_ts, event_type
     """,
 )
 def events_windowed(spark, sf_dir):
+    # hour as a STRING on both sides: engine-agnostic representation
+    # (tz-aware vs naive timestamp round-trips differ between engines)
     return (
         _t(spark, sf_dir, "events")
         .groupBy(
-            F.date_trunc("hour", "ts").alias("hour_ts"),
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour_ts"
+            ),
             "event_type",
         )
         .agg(

@@ -110,7 +110,8 @@ def run_snapshot(
     metrics = obs.get
     return {
         "snapshot_id": snapshot_id,
-        "files": files,
+        "n_files": len(files),
+        "files": files if len(files) <= 8 else files[:3] + ["..."] + files[-1:],
         "rows": int(metrics["rows"]),
         "payload_bytes": int(metrics["payload_bytes"] or 0),
         "approx_urls": int(metrics["approx_urls"]),
