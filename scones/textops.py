@@ -146,17 +146,26 @@ def shingles(df: DataFrame, k: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, k: int = 3, threshold: float = 0.6
+    df: DataFrame, k: int = 3, threshold: float = 0.6, max_df: int = 0
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard ≥ threshold.
 
     Self-join on shared shingles → |A∩B| per pair, then Jaccard from the
     per-doc set sizes.  The join key is md5(shingle) (16 bytes on the
-    wire).  At scale you cap candidate fan-out by dropping shingles with
-    document frequency above a ceiling — see ``minhash_lsh_pairs`` for
-    the sub-quadratic path.
+    wire).  ``max_df`` > 0 drops shingles whose document frequency
+    exceeds it BEFORE the self-join — the standard cap on candidate
+    fan-out at scale (a stop-shingle shared by 10^6 docs would otherwise
+    generate 10^12 candidate pairs); jaccard is then computed over the
+    capped shingle universe (set sizes capped consistently).  See
+    ``minhash_lsh_pairs`` for the fully sub-quadratic path.
     """
     sh = shingles(df, k).withColumn("sh_md5", F.md5("shingle")).drop("shingle")
+    if max_df > 0:
+        freq = sh.groupBy("sh_md5").agg(F.count("*").alias("df_"))
+        sh = (
+            sh.join(freq.where(F.col("df_") <= max_df), "sh_md5")
+            .drop("df_")
+        )
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     a = sh.alias("a")
     b = sh.alias("b")

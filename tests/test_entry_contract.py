@@ -72,6 +72,24 @@ def test_minhash_lsh_recall_vs_exact(spark):
         assert len(lsh & exact) / len(exact) >= 0.8
 
 
+def test_ngram_jaccard_max_df_cap(spark):
+    """A generous doc-frequency cap must not change results on a corpus
+    with no stop-shingles that frequent; a tight cap still runs."""
+    from scones.textops import ngram_jaccard_pairs
+
+    docs = entrymod._t(spark, SF_DIR, "documents")
+    uncapped = {
+        (r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, 3, 0.2).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, 3, 0.2, max_df=10**6).collect()
+    }
+    assert capped == uncapped
+    tight = ngram_jaccard_pairs(docs, 3, 0.2, max_df=2).count()
+    assert tight >= 0  # runs; pairs may drop under the tight cap
+
+
 def test_simhash_identical_docs_collide(spark):
     from scones.textops import simhash64
 
