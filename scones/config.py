@@ -22,6 +22,11 @@ class PipelineConfig:
     n_sinks: int = 4  # ≈ number of configured lumberjack servers
     max_length: int = 0  # 0 = unlimited (config.go:18)
     spread_partitions: int = 0  # per-sink write parallelism (0 = AQE decides)
+    # static per-pipeline constant fields merged into every record
+    # (≈ config.go:41 `fields`); reference precedence preserved: a static
+    # field named like a generated column OVERWRITES it
+    # (file_reader.go:112-117 writes fields after line/host)
+    static_fields: dict = field(default_factory=dict)
     extra: dict = field(default_factory=dict)
 
     @classmethod

@@ -48,6 +48,8 @@ def build_snapshot_plan(
         df = enrich_broadcast(df, host_meta)
     else:
         df = with_host(df)
+    for k, v in (cfg.static_fields or {}).items():
+        df = df.withColumn(k, F.lit(v))  # overwrites like the reference
     return with_sink_id(df, cfg.n_sinks)
 
 

@@ -89,6 +89,37 @@ def test_config_json_roundtrip(tmp_path):
     assert PipelineConfig.from_json(p).n_sinks == 7
 
 
+def test_static_fields_decoration_and_precedence(spark, tmp_path):
+    """≈ config.go:41 fields + the reference's precedence rule: a static
+    field named like a generated column overwrites it
+    (file_reader.go:112-117)."""
+    cfg = _cfg(tmp_path)
+    cfg.static_fields = {"env": "prod", "host": "forced-host"}
+    write_corpus(str(tmp_path / "in"), n_docs=20, n_files=1, seed=61)
+    run_snapshot(spark, cfg)
+    df = spark.read.parquet(str(tmp_path / "out" / "snapshot_id=1"))
+    rows = df.select("env", "host").distinct().collect()
+    assert rows == [
+        r for r in rows if r.env == "prod" and r.host == "forced-host"
+    ] and len(rows) == 1
+
+
+def test_write_routed_library_api(spark, tmp_path):
+    from scones.extract import extract_documents
+    from scones.enrich import with_host
+    from scones.route import write_routed
+
+    write_corpus(str(tmp_path / "in"), n_docs=30, n_files=1, seed=62)
+    df = with_host(
+        extract_documents(spark.read.parquet(str(tmp_path / "in") + "/*.parquet"))
+    )
+    out = str(tmp_path / "routed")
+    write_routed(df, out, n_sinks=2, spread_partitions=2)
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    assert set(r.sink_id for r in got.select("sink_id").distinct().collect()) == {0, 1}
+
+
 def test_spread_defuses_hot_host_skew(spark, tmp_path):
     """Zipfian corpus: hot.example.org carries ≥20% of rows.  The
     routed-write repartition key (sink_id, crc32(url)%spread) must keep
