@@ -45,6 +45,14 @@ BENCH_QUERIES = [
     "sink_aggregates",
     "enrich_broadcast",
     "length_filter",
+    "orders_rollup",
+    "docs_except",
+    "lang_source_pivot",
+    "tpch_q14_like",
+    "supplier_balance_by_nation",
+    "lang_length_quantiles",
+    "media_features",
+    "projection_host",
     "token_counts",
     "quality_scores",
     "lang_id",

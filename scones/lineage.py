@@ -66,18 +66,28 @@ class LineageStore:
     def _files(self) -> list[str]:
         return sorted(globmod.glob(os.path.join(self.dir, "snapshot_*.parquet")))
 
-    def read_all(self) -> pa.Table:
+    def read_all(self, columns: list[str] | None = None) -> pa.Table:
+        """Manifest scan.  Lineage is metadata (one row per source file
+        per snapshot): at 10^7 input files this is ~hundreds of MB, so
+        reads are column-projected; beyond that the store would be an
+        Iceberg/Delta table and these scans become metadata queries —
+        the thin interface here is the swap point."""
         files = self._files()
         if not files:
-            return LINEAGE_SCHEMA.empty_table()
-        return pa.concat_tables([pq.read_table(f) for f in files])
+            t = LINEAGE_SCHEMA.empty_table()
+            return t.select(columns) if columns else t
+        return pa.concat_tables(
+            [pq.read_table(f, columns=columns) for f in files]
+        )
 
     def committed_snapshots(self) -> list[int]:
-        t = self.read_all()
+        t = self.read_all(columns=["snapshot_id"])
         return sorted(set(t.column("snapshot_id").to_pylist()))
 
     def processed_files(self) -> set[str]:
-        return set(self.read_all().column("src_file").to_pylist())
+        return set(
+            self.read_all(columns=["src_file"]).column("src_file").to_pylist()
+        )
 
     def next_snapshot_id(self) -> int:
         snaps = self.committed_snapshots()
