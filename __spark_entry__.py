@@ -304,6 +304,66 @@ def window_top_orders(spark, sf_dir):
     )
 
 
+# Grok/regex structured parse (the north rule's parse step): construct a
+# classic log line from events, then recover typed fields JVM-side with
+# one compiled grok regex; the oracle replays the identical regex in
+# DuckDB (RE2-compatible fragments only).
+_GROK_PATTERN = (
+    "%{TIMESTAMP_ISO8601:ev_ts:ts} %{LOGLEVEL:level} %{WORD:etype} "
+    "user=%{INT:uid:long} value=%{NUMBER:val:double}"
+)
+
+
+@_q("grok_parse_events", None)  # SQL attached below after regex compile
+def grok_parse_events(spark, sf_dir):
+    from scones.grok import grok_parse
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit(" INFO "),
+            "event_type",
+            F.lit(" user="),
+            F.col("user_id").cast("string"),
+            F.lit(" value="),
+            F.col("value").cast("string"),
+        ).alias("line")
+    )
+    parsed = grok_parse(ev, "line", _GROK_PATTERN, keep_unmatched=False)
+    return parsed.groupBy("etype", "level").agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.sum("val"), 4).alias("sum_value"),
+        F.countDistinct("uid").alias("n_users"),
+    )
+
+
+def _grok_oracle_sql() -> str:
+    from scones.grok import compile_grok
+
+    regex, _ = compile_grok(_GROK_PATTERN)
+    return f"""
+    WITH lines AS (
+      SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') || ' INFO ' || event_type
+             || ' user=' || CAST(user_id AS VARCHAR)
+             || ' value=' || CAST(value AS VARCHAR) AS line
+      FROM events
+    ), parsed AS (
+      SELECT regexp_extract(line, '{regex}', 3) AS etype,
+             regexp_extract(line, '{regex}', 2) AS level,
+             CAST(regexp_extract(line, '{regex}', 4) AS BIGINT) AS uid,
+             CAST(regexp_extract(line, '{regex}', 5) AS DOUBLE) AS val
+      FROM lines WHERE regexp_matches(line, '{regex}')
+    )
+    SELECT etype, level, COUNT(*) AS n_lines,
+           ROUND(SUM(val), 4) AS sum_value,
+           COUNT(DISTINCT uid) AS n_users
+    FROM parsed GROUP BY etype, level
+    """
+
+
+_ORACLES["grok_parse_events"] = _grok_oracle_sql()
+
+
 @_q(
     "orders_rollup",
     """

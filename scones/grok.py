@@ -1,0 +1,88 @@
+"""Grok-style structured field extraction from log/text lines.
+
+The north rule's "grok/regex parse" step: named patterns compile to one
+regex; each field is pulled JVM-side with ``regexp_extract`` (whole-stage
+codegen — zero Python), with typed casts applied per field.  This is the
+structured-parsing layer ON TOP of the byte-exact line framing in
+extract.py/tailsource.py (the reference stops at raw lines,
+file_reader.go:105-120; grok is what its logstash downstream would do).
+
+Pattern syntax: ``%{NAME:field}`` or ``%{NAME:field:type}`` where NAME
+is a library pattern below and type ∈ {int, long, double, ts}.
+Literal text between captures is regex-escaped.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Library of base patterns (regex fragments, no capture groups).
+PATTERNS: dict[str, str] = {
+    "WORD": r"\w+",
+    "NOTSPACE": r"\S+",
+    "DATA": r".*?",
+    "GREEDYDATA": r".*",
+    "INT": r"[+-]?\d+",
+    "NUMBER": r"[+-]?\d+(?:\.\d+)?",
+    "IP": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "TIMESTAMP_ISO8601": r"\d{4}-\d{2}-\d{2}[ T]\d{2}:\d{2}:\d{2}(?:\.\d+)?",
+    "LOGLEVEL": r"(?:DEBUG|INFO|WARN|ERROR|FATAL|TRACE)",
+    "QUOTEDSTRING": r'"[^"]*"',
+    "PATH": r"(?:/[\w.-]+)+",
+}
+
+_TOKEN = re.compile(r"%\{(\w+):(\w+)(?::(\w+))?\}")
+
+_CASTS = {"int": "int", "long": "bigint", "double": "double", "ts": "timestamp"}
+
+
+def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
+    """Grok pattern → (single regex with ordered groups, [(field, type)])."""
+    fields: list[tuple[str, str | None]] = []
+    out = []
+    pos = 0
+    for m in _TOKEN.finditer(pattern):
+        out.append(re.escape(pattern[pos : m.start()]))
+        name, field, typ = m.group(1), m.group(2), m.group(3)
+        if name not in PATTERNS:
+            raise KeyError(f"unknown grok pattern %{{{name}}}")
+        if typ is not None and typ not in _CASTS:
+            raise KeyError(f"unknown grok type :{typ}")
+        out.append(f"({PATTERNS[name]})")
+        fields.append((field, typ))
+        pos = m.end()
+    out.append(re.escape(pattern[pos:]))
+    return "".join(out), fields
+
+
+def grok_columns(
+    line_col: str | Column, pattern: str
+) -> dict[str, Column]:
+    """Per-field extraction columns (JVM regexp_extract, codegen-able)."""
+    regex, fields = compile_grok(pattern)
+    col = F.col(line_col) if isinstance(line_col, str) else line_col
+    out: dict[str, Column] = {}
+    for i, (field, typ) in enumerate(fields, start=1):
+        c = F.regexp_extract(col, regex, i)
+        if typ is not None:
+            # non-matching lines extract '' — nullify before casting
+            c = F.when(c == "", None).otherwise(c).cast(_CASTS[typ])
+        out[field] = c
+    return out
+
+
+def grok_parse(
+    df: DataFrame, line_col: str, pattern: str, keep_unmatched: bool = True
+) -> DataFrame:
+    """Add one typed column per grok field; optionally drop non-matching
+    lines (a non-match extracts empty strings / nulls for every field)."""
+    regex, fields = compile_grok(pattern)
+    out = df
+    for field, col in grok_columns(line_col, pattern).items():
+        out = out.withColumn(field, col)
+    if not keep_unmatched:
+        out = out.where(F.col(line_col).rlike(regex))
+    return out
