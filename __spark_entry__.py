@@ -833,6 +833,39 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+def _hyperplane_oracle_sql() -> str:
+    from scones.similarity import hyperplane_planes
+
+    planes = hyperplane_planes(dim=64, n_planes=6, seed=42)
+    terms = " + ".join(
+        f"(CASE WHEN list_dot_product(embedding::DOUBLE[], "
+        f"[{', '.join(str(v) for v in p)}]::DOUBLE[]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+    WITH b AS (SELECT vec_id, label, embedding, {terms} AS bucket FROM embeddings),
+    q AS (SELECT embedding::DOUBLE[] AS qe, bucket FROM b WHERE vec_id = 0)
+    SELECT vec_id, label, ROUND({_COS_SQL}, 6) AS cos_sim
+    FROM b JOIN q USING (bucket) WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """
+
+
+@_q("ann_hyperplane_topk")
+def ann_hyperplane_topk(spark, sf_dir):
+    return similarity.ann_hyperplane_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_vec_id=0,
+        k=10,
+        n_planes=6,
+        dim=64,
+        seed=42,
+    )
+
+
+_ORACLES["ann_hyperplane_topk"] = _hyperplane_oracle_sql()
+
+
 @_q(
     "embedding_near_dup",
     f"""

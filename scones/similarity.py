@@ -95,6 +95,64 @@ def ann_lsh_topk(
     )
 
 
+def hyperplane_planes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic ±1 random hyperplanes (seeded, library-free).
+
+    Rademacher entries are a valid random-projection family; being exact
+    small literals they replay bit-identically in any engine's SQL.
+    """
+    import random
+
+    rng = random.Random(seed)
+    return [
+        [float(rng.choice((-1.0, 1.0))) for _ in range(dim)]
+        for _ in range(n_planes)
+    ]
+
+
+def hyperplane_bucket(col: str | Column, planes: list[list[float]]) -> Column:
+    """Sign-of-projection LSH bucket id for a seeded plane set.
+
+    Each plane is a literal array → the dot product folds JVM-side; the
+    whole expression is codegen, no Python, no shuffle.
+    """
+    bucket = F.lit(0)
+    for i, plane in enumerate(planes):
+        lit_plane = F.array(*[F.lit(v) for v in plane])
+        proj = dot(col, lit_plane)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return bucket
+
+
+def ann_hyperplane_topk(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via seeded random-hyperplane LSH: search only
+    the query's bucket (2^n_planes buckets; recall tunes via n_planes
+    and multi-probe)."""
+    planes = hyperplane_planes(dim, n_planes, seed)
+    withb = df.withColumn("bucket", hyperplane_bucket("embedding", planes))
+    q = withb.where(F.col("vec_id") == query_vec_id).select(
+        F.col("embedding").alias("q_emb"), F.col("bucket")
+    )
+    return (
+        withb.join(F.broadcast(q), on="bucket")
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine("embedding", "q_emb"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame, threshold: float = 0.95, n_bits: int = 4
 ) -> DataFrame:

@@ -277,10 +277,19 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact-verify candidates only (tiny set) with true shingle Jaccard.
+    # Semi-join the shingle relation down to candidate docs FIRST so the
+    # intersection join never touches non-candidate shingles (at 10^12
+    # docs the candidate set is sparse; the full relation is not).
     sh = shingles(df, k).withColumn("sh_md5", F.md5("shingle")).drop("shingle")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
-    ia = sh.select(F.col("doc_id").alias("doc_a"), "sh_md5")
-    ib = sh.select(F.col("doc_id").alias("doc_b"), "sh_md5")
+    cand_docs = (
+        candidates.select(F.col("doc_a").alias("doc_id"))
+        .union(candidates.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    ia = sh_c.select(F.col("doc_id").alias("doc_a"), "sh_md5")
+    ib = sh_c.select(F.col("doc_id").alias("doc_b"), "sh_md5")
     inter = (
         candidates.join(ia, "doc_a")
         .join(ib, ["doc_b", "sh_md5"])

@@ -58,6 +58,43 @@ def test_stream_available_now_and_incremental(spark, tmp_path, host_meta_path):
         assert sink == route(row["url"], N_SINKS)
 
 
+def test_max_files_per_trigger_bounds_micro_batches(spark, tmp_path):
+    """≈ SpoolSize backpressure (supervisor.go:46): maxFilesPerTrigger=1
+    over 4 files must process exactly 4 bounded micro-batches."""
+    import os
+
+    from scones.extract import extract_documents
+
+    in_dir = tmp_path / "bp_in"
+    in_dir.mkdir()
+    rows = generate_rows(80, seed=41)
+    _write_files(str(in_dir), rows, 4)
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir))
+    )
+    out = extract_documents(stream.drop("text")).select("url", "n_lines")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bp_out")
+        .option("checkpointLocation", str(tmp_path / "bp_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert spark.sql("select count(*) from bp_out").collect()[0][0] == 80
+    offsets = [
+        f
+        for f in os.listdir(str(tmp_path / "bp_ckpt" / "offsets"))
+        if not f.startswith(".")
+    ]
+    assert len(offsets) >= 4, f"expected >=4 micro-batches, got {offsets}"
+
+
 def test_windowed_host_counts_matches_batch(spark, tmp_path):
     in_dir = tmp_path / "win_in"
     in_dir.mkdir()
