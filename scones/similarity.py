@@ -131,15 +131,26 @@ def ann_hyperplane_topk(
     n_planes: int = 6,
     dim: int = 64,
     seed: int = 42,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k via seeded random-hyperplane LSH: search only
     the query's bucket (2^n_planes buckets; recall tunes via n_planes
-    and multi-probe)."""
+    and ``probe_hamming`` multi-probe)."""
     planes = hyperplane_planes(dim, n_planes, seed)
     withb = df.withColumn("bucket", hyperplane_bucket("embedding", planes))
     q = withb.where(F.col("vec_id") == query_vec_id).select(
         F.col("embedding").alias("q_emb"), F.col("bucket")
     )
+    if probe_hamming > 0:
+        # multi-probe: also search buckets within Hamming distance 1 of
+        # the query's bucket (each flipped bit = a borderline plane) —
+        # the standard recall knob without growing the index
+        flips = [F.col("bucket")] + [
+            F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
+        ]
+        q = q.select(
+            "q_emb", F.explode(F.array(*flips)).alias("bucket")
+        )
     return (
         withb.join(F.broadcast(q), on="bucket")
         .where(F.col("vec_id") != query_vec_id)
