@@ -64,6 +64,8 @@ BENCH_QUERIES = [
     "simhash",
     "cosine_topk",
     "ann_lsh_topk",
+    "ann_hyperplane_topk",
+    "grok_parse_events",
     "embedding_near_dup",
 ]
 
