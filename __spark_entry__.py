@@ -736,11 +736,44 @@ def dedup_near_keep_min(spark, sf_dir):
     return docs.join(dups, on="doc_id", how="left_anti").select("doc_id", "lang")
 
 
-# MinHash-LSH near-dup: banded signature bucketing + exact-Jaccard verify.
-# Non-SQL-expressible end-to-end in one readable oracle → rows-only check;
-# its building blocks (minhash_signatures, ngram_jaccard_pairs) are both
-# oracle-checked above.
-@_q("minhash_lsh_pairs")
+# MinHash-LSH near-dup: banded signature bucketing + exact-Jaccard
+# verify.  The oracle replays every stage in DuckDB: signatures (md5
+# minhash), band hashes (md5 over ','-joined sigs per band — identical to
+# Spark's concat_ws), bucket self-join, exact-Jaccard verification.
+_JACCARD_SQL = "inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE)"
+
+
+@_q(
+    "minhash_lsh_pairs",
+    _SHINGLES_SQL
+    + f"""
+    , sigs AS (
+      SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+             MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+      FROM sh CROSS JOIN (SELECT UNNEST(range(0, 8)) AS seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(sig, ',' ORDER BY seed)) AS band_hash
+      FROM sigs GROUP BY doc_id, band
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), sized AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT doc_a, doc_b, COUNT(*) AS inter
+      FROM cand JOIN sh a ON a.doc_id = doc_a
+                JOIN sh b ON b.doc_id = doc_b AND a.shingle = b.shingle
+      GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, ROUND({_JACCARD_SQL}, 6) AS jaccard
+    FROM inter JOIN sized sa ON sa.doc_id = doc_a
+               JOIN sized sb ON sb.doc_id = doc_b
+    WHERE {_JACCARD_SQL} >= 0.2
+    """,
+)
 def minhash_lsh_pairs(spark, sf_dir):
     return textops.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
@@ -751,10 +784,42 @@ def minhash_lsh_pairs(spark, sf_dir):
     )
 
 
-# SimHash fingerprint (xxhash64 is Spark-side only) → rows-only check.
-@_q("simhash")
+def _simhash_oracle_sql(bits: int = 16) -> str:
+    # 16-bit token hash from the first 4 md5 hex nibbles (matches
+    # textops.md5_hash16 = conv(substring(md5(tok),1,4),16,10)).
+    nib = "(strpos('0123456789abcdef', substr(md5(tok), {p}, 1)) - 1)"
+    h = " + ".join(
+        f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4)
+    )
+    votes = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(bits)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(bits)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, UNNEST({_TOKS_SQL}) AS tok FROM documents
+    ), h AS (
+      SELECT doc_id, {h} AS h FROM tok
+    ), votes AS (
+      SELECT doc_id, {votes} FROM h GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS simhash FROM votes
+    """
+
+
+# SimHash fingerprint.  The oracle-checked query uses the md5-derived
+# 16-bit token hash (cross-engine); production keeps xxhash64 (same plan
+# shape, pinned separately in tests/).
+@_q("simhash", _simhash_oracle_sql(16))
 def simhash(spark, sf_dir):
-    return textops.simhash64(_t(spark, sf_dir, "documents"), bits=16)
+    return textops.simhash64(
+        _t(spark, sf_dir, "documents"),
+        bits=16,
+        token_hash=textops.md5_hash16("tok"),
+    )
 
 
 # Multimodal plumbing: binary payload → Arrow-batched featurization via
@@ -765,10 +830,10 @@ def simhash(spark, sf_dir):
     "media_features",
     """
     SELECT doc_id, 'text/plain' AS media_type,
-           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            md5(text) AS feature_fp,
-           CAST(LENGTH(text) % 640 + 1 AS INTEGER) AS width,
-           CAST(LENGTH(text) % 480 + 1 AS INTEGER) AS height
+           CAST(octet_length(encode(text)) % 640 + 1 AS INTEGER) AS width,
+           CAST(octet_length(encode(text)) % 480 + 1 AS INTEGER) AS height
     FROM documents
     """,
 )
@@ -866,23 +931,47 @@ def ann_hyperplane_topk(spark, sf_dir):
 _ORACLES["ann_hyperplane_topk"] = _hyperplane_oracle_sql()
 
 
-@_q(
-    "embedding_near_dup",
-    f"""
-    WITH b AS (SELECT vec_id, embedding, {_BUCKET_SQL} AS bucket FROM embeddings)
-    SELECT a.vec_id AS vec_a, c.vec_id AS vec_b,
-           ROUND(list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
-                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                  sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))), 6) AS cos_sim
-    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], c.embedding::DOUBLE[]) /
-          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-           sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))) >= 0.3
-    """,
-)
+def _near_dup_oracle_sql(
+    bits_per_band: int = 4, n_bands: int = 4, threshold: float = 0.3
+) -> str:
+    def bucket_expr(band: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN embedding[{band * bits_per_band + i + 1}] > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(bits_per_band)
+        )
+
+    bands = "\n      UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, {bucket_expr(b)} AS bucket FROM embeddings"
+        for b in range(n_bands)
+    )
+    cos = (
+        "list_dot_product(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) / "
+        "(sqrt(list_dot_product(ea.embedding::DOUBLE[], ea.embedding::DOUBLE[])) * "
+        "sqrt(list_dot_product(eb.embedding::DOUBLE[], eb.embedding::DOUBLE[])))"
+    )
+    return f"""
+    WITH bands AS (
+      {bands}
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, ROUND({cos}, 6) AS cos_sim
+    FROM cand JOIN embeddings ea ON ea.vec_id = vec_a
+              JOIN embeddings eb ON eb.vec_id = vec_b
+    WHERE {cos} >= {threshold}
+    """
+
+
+@_q("embedding_near_dup", _near_dup_oracle_sql(4, 4, 0.3))
 def embedding_near_dup(spark, sf_dir):
     return similarity.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.3, n_bits=4
+        _t(spark, sf_dir, "embeddings"),
+        threshold=0.3,
+        bits_per_band=4,
+        n_bands=4,
     )
 
 

@@ -316,28 +316,46 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(df: DataFrame, bits: int = 16) -> DataFrame:
-    """SimHash fingerprint (xxhash64-based, JVM-side; rows-only oracle).
+def md5_hash16(col: str | Column) -> Column:
+    """16-bit token hash from the first 4 hex chars of md5.
 
-    Per token a 64-bit hash votes ±1 on each of ``bits`` positions; the
-    sign of the per-position sum is the fingerprint bit.  Hamming-close
-    fingerprints ⇒ near-dup.  One explode + one groupBy — linear, no
-    pairwise work.
+    Cross-engine deterministic: md5 is bit-identical in Spark and DuckDB,
+    so a simhash built on it is fully oracle-checkable.  xxhash64 is the
+    faster production-scale choice (see :func:`simhash64` default)."""
+    return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("bigint")
+
+
+def simhash64(
+    df: DataFrame, bits: int = 16, token_hash: Column | None = None
+) -> DataFrame:
+    """SimHash fingerprint — one token explode, one groupBy.
+
+    Per token a hash votes ±1 on each of ``bits`` positions; the sign of
+    the per-position sum is the fingerprint bit.  Hamming-close
+    fingerprints ⇒ near-dup.
+
+    Shape: the groupBy carries ``bits`` conditional-sum columns computed
+    from ``h`` directly (same map-side-combine shape as
+    minhash_signatures_wide) — the shuffle moves |tokens| rows once, NOT
+    bits×|tokens| (the round-1 bit-explode anti-pattern).
+
+    ``token_hash`` defaults to ``xxhash64(tok)`` (JVM-side, production
+    path; bits ≤ 64).  Pass :func:`md5_hash16` for the cross-engine
+    oracle-checkable variant (bits ≤ 16).
     """
     tok = df.select("doc_id", F.explode(tokens_col()).alias("tok"))
-    h = tok.withColumn("h", F.xxhash64("tok"))
-    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
-    votes = (
-        h.select("doc_id", "h", bitpos)
-        .withColumn(
-            "vote",
-            F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1),
-        )
-        .groupBy("doc_id", "bit")
-        .agg(F.sum("vote").alias("v"))
+    h = tok.withColumn(
+        "h", token_hash if token_hash is not None else F.xxhash64("tok")
     )
-    return votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("v") > 0, F.expr("1 << bit")).otherwise(0)).alias(
-            "simhash"
-        )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(bits)
+        ]
     )
+    fp = F.lit(0).cast("bigint")
+    for i in range(bits):
+        fp = fp + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return votes.select("doc_id", fp.alias("simhash"))

@@ -32,13 +32,11 @@ def test_entry_smoke(spark):
     assert sum(r["n_rows"] for r in rows) == 500  # sf0.001 documents table
 
 
-def test_every_query_has_oracle_or_is_documented():
+def test_every_query_has_oracle():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    rows_only = set(qs) - set(oracles)
-    # Only genuinely non-SQL-expressible ops may omit the oracle.
-    assert rows_only <= {"minhash_lsh_pairs", "simhash", "media_features"}
-    assert set(oracles) <= set(qs)
+    # Round 2: every query is oracle-checked — no rows-only entries left.
+    assert set(qs) == set(oracles)
 
 
 @pytest.mark.parametrize("name", sorted(entrymod.queries().keys()))
@@ -99,3 +97,31 @@ def test_simhash_identical_docs_collide(spark):
     )
     out = {r.doc_id: r.simhash for r in simhash64(df).collect()}
     assert out[1] == out[2]
+
+
+def test_simhash_reshape_equals_bit_explode(spark):
+    """The round-2 single-explode simhash must be value-identical to the
+    round-1 bit-exploded formulation (same xxhash64 votes, 16× less
+    shuffle)."""
+    from pyspark.sql import functions as F
+
+    from scones.textops import simhash64, tokens_col
+
+    docs = entrymod._t(spark, SF_DIR, "documents")
+    new = {r.doc_id: r.simhash for r in simhash64(docs, bits=16).collect()}
+
+    bits = 16
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("tok"))
+    h = tok.withColumn("h", F.xxhash64("tok"))
+    bitpos = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit")
+    votes = (
+        h.select("doc_id", "h", bitpos)
+        .withColumn("vote", F.when(F.expr("(h >> bit) & 1") == 1, 1).otherwise(-1))
+        .groupBy("doc_id", "bit")
+        .agg(F.sum("vote").alias("v"))
+    )
+    old_df = votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("v") > 0, F.expr("1 << bit")).otherwise(0)).alias("simhash")
+    )
+    old = {r.doc_id: r.simhash for r in old_df.collect()}
+    assert new == old
