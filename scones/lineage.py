@@ -114,21 +114,32 @@ def plan_new_files(store: LineageStore, input_glob: str) -> list[str]:
     return sorted(f for f in globmod.glob(input_glob) if f not in seen)
 
 
-def lineage_rows_for(df: DataFrame, snapshot_id: int) -> list[dict]:
+def lineage_rows_for(
+    df: DataFrame | None,
+    snapshot_id: int,
+    planned_files: list[str] | None = None,
+) -> list[dict]:
     """Aggregate per-file lineage from an extracted DataFrame.
 
     ``df`` must carry ``src_file`` and ``bytes_read`` columns (extract.py).
     offset_end = sum of framed bytes = the file's high-water-mark analog.
+
+    ``planned_files``: every file this snapshot planned.  Files that
+    produced ZERO output rows (e.g. an empty input parquet) still get a
+    lineage row (row_count=0) — otherwise they would never be marked
+    consumed and be re-admitted on every run.
     """
     agg = (
-        df.groupBy("src_file")
+        []
+        if df is None
+        else df.groupBy("src_file")
         .agg(
             F.count("*").alias("row_count"),
             F.sum("bytes_read").alias("offset_end"),
         )
         .collect()
     )
-    return [
+    rows = [
         {
             "snapshot_id": snapshot_id,
             "src_file": normalize_path(r["src_file"]),
@@ -138,6 +149,19 @@ def lineage_rows_for(df: DataFrame, snapshot_id: int) -> list[dict]:
         }
         for r in agg
     ]
+    seen = {r["src_file"] for r in rows}
+    for f in planned_files or []:
+        if f not in seen:
+            rows.append(
+                {
+                    "snapshot_id": snapshot_id,
+                    "src_file": f,
+                    "offset_start": 0,
+                    "offset_end": 0,
+                    "row_count": 0,
+                }
+            )
+    return rows
 
 
 def backlog_report(store: LineageStore, input_glob: str) -> dict:

@@ -100,16 +100,26 @@ def run_snapshot(
     )
     t_written = _time.perf_counter()
 
-    # Lineage from the written output (audit of what actually landed).
-    written = spark.read.parquet(snap_dir)
-    rows = lineage_rows_for(written, snapshot_id)
+    # Lineage from the written output (audit of what actually landed);
+    # zero-row planned files still get a consumed marker.
+    try:
+        written = spark.read.parquet(snap_dir)
+        rows = lineage_rows_for(written, snapshot_id, planned_files=files)
+    except Exception:
+        # all planned files were empty → no parquet parts to infer a
+        # schema from; commit pure zero-row markers
+        rows = lineage_rows_for(None, snapshot_id, planned_files=files)
 
     if fail_before_commit:
         raise RuntimeError("injected crash between sink write and lineage commit")
 
     store.commit(snapshot_id, rows)
     t_done = _time.perf_counter()
-    metrics = obs.get
+    try:
+        metrics = obs.get
+    except Exception:
+        # an all-empty snapshot ran zero tasks → no observed row
+        metrics = {"rows": 0, "payload_bytes": 0, "approx_urls": 0}
     return {
         "snapshot_id": snapshot_id,
         "n_files": len(files),

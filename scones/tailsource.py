@@ -7,18 +7,31 @@ frame forward (file_reader.go:57-93), record = {line, host, file, offset}
 (file_reader.go:105-120), commit new offsets only after the sinks accept
 the batch (supervisor.go:210-249).
 
-Spark-side: the driver plans (file, start_offset) work units from the
-lineage store; ``binaryFile`` loads each file's bytes; a mapInArrow
-kernel slices from the stored offset and frames lines with the exact
-reference semantics (CRLF trim, skip-but-advance, partial-line rule),
-emitting one row per line with its high-water mark.  Appended bytes are
-picked up by the next snapshot from the committed offset — true
-mid-file resume, byte-exact.
+Spark-side: the driver plans (file, start, end) work units from the
+lineage store and the file sizes observed at plan time; the mapInArrow
+kernel OPENS AND SEEKS each file and reads only ``end - start`` bytes —
+the reference's ``Seek(hwm)`` contract (supervisor.go:315).  A 10 GB
+log that grew by 2 MB costs 2 MB of I/O per snapshot, not 10 GB (the
+round-1 ``binaryFile`` implementation re-read the whole file; the
+bytes-read invariant is pinned in tests/test_tailsource.py).  Framing
+keeps the exact reference semantics: CRLF trim, skip-but-advance,
+partial-line rule.
 
-Scale note: ``binaryFile`` materializes one file per row (fine for log
-files; Spark caps such rows well below 2 GB).  For bigger units you
-shard the glob, not the file — same as the reference, which also reads
-each file with a single sequential reader.
+Offset semantics (matches the reference's BoltDB HWM): the committed
+``offset_end`` is the framed-byte position after the last COMPLETE line,
+including lines skipped by max_length — a file whose new bytes are all
+over-long lines still advances, so it is not re-read every snapshot.
+Every emitted row carries ``frame_end`` (that position) and
+``bytes_read`` (actual ranged-read cost); a file that framed zero
+emittable lines but still advanced produces one sentinel row
+(line IS NULL) so the advance can be committed.  Data readers filter
+``line IS NOT NULL``.
+
+Scale note: one work unit = one task.  Parallelism comes from the file
+count — same as the reference, which also reads each file with a single
+sequential reader.  Giant single files would be split by planning
+multiple (file, start, end) ranges aligned to newline scans; not needed
+for log-shipping workloads.
 """
 
 from __future__ import annotations
@@ -31,10 +44,11 @@ import pyarrow as pa
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .lineage import LineageStore, normalize_path
+from .lineage import LineageStore
 
 LINE_SCHEMA = (
-    "src_file string, line binary, hwm bigint, line_no bigint"
+    "src_file string, line binary, hwm bigint, line_no bigint, "
+    "frame_end bigint, bytes_read bigint"
 )
 
 
@@ -59,24 +73,40 @@ def read_tail(
     work: list[tuple[str, int]],
     max_length: int = 0,
 ) -> DataFrame:
-    """One row per newly-framed line across all work units."""
-    offsets = dict(work)
+    """One row per newly-framed line across all work units, plus one
+    sentinel row (line IS NULL) per file whose frame advanced without
+    emitting lines.
+
+    The end offset is pinned at plan time (current size), so a file
+    growing mid-job still yields a consistent snapshot; bytes past
+    ``end`` are next snapshot's work.
+    """
+    units = [
+        (path, int(start), int(os.path.getsize(path)))
+        for path, start in work
+    ]
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
-            paths = batch.column("path").to_pylist()
-            contents = batch.column("content").to_pylist()
+            paths = batch.column("src_file").to_pylist()
+            starts = batch.column("start").to_pylist()
+            ends = batch.column("end").to_pylist()
             out_f: list[str] = []
-            out_l: list[bytes] = []
+            out_l: list[bytes | None] = []
             out_h: list[int] = []
             out_n: list[int] = []
-            for path, content in zip(paths, contents):
-                plain = normalize_path(path)
-                start = offsets.get(plain, 0)
-                data = bytes(content)[start:]
+            out_fe: list[int] = []
+            out_br: list[int] = []
+            for path, start, end in zip(paths, starts, ends):
+                # the Seek contract: read ONLY the planned byte range
+                with open(path, "rb") as fh:
+                    fh.seek(start)
+                    data = fh.read(end - start)
+                bytes_read = len(data)
                 pos = start
                 cursor = 0
                 line_no = 0
+                emitted_before = len(out_f)
                 while True:
                     nl = data.find(b"\n", cursor)
                     if nl < 0:
@@ -84,25 +114,45 @@ def read_tail(
                     raw_len = nl + 1 - cursor
                     pos += raw_len
                     if not (max_length > 0 and raw_len > max_length):
-                        out_f.append(plain)
+                        out_f.append(path)
                         out_l.append(data[cursor:nl].rstrip(b"\r\n"))
                         out_h.append(pos)
                         line_no += 1
                         out_n.append(line_no)
                     cursor = nl + 1
+                frame_end = pos  # after last complete line, incl. skipped
+                n_emitted = len(out_f) - emitted_before
+                if n_emitted == 0:
+                    if frame_end > start:
+                        # all-new-bytes-skipped: sentinel row carries the
+                        # advance so the offset still commits
+                        out_f.append(path)
+                        out_l.append(None)
+                        out_h.append(start)
+                        out_n.append(0)
+                    else:
+                        continue  # pure partial tail: nothing to commit
+                    out_fe.append(frame_end)
+                    out_br.append(bytes_read)
+                else:
+                    out_fe.extend([frame_end] * n_emitted)
+                    out_br.extend([bytes_read] * n_emitted)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_f, pa.string()),
                     pa.array(out_l, pa.binary()),
                     pa.array(out_h, pa.int64()),
                     pa.array(out_n, pa.int64()),
+                    pa.array(out_fe, pa.int64()),
+                    pa.array(out_br, pa.int64()),
                 ],
-                ["src_file", "line", "hwm", "line_no"],
+                ["src_file", "line", "hwm", "line_no", "frame_end", "bytes_read"],
             )
 
-    files = [f for f, _ in work]
-    raw = spark.read.format("binaryFile").load(files).select("path", "content")
-    return raw.mapInArrow(run, LINE_SCHEMA)
+    plan_df = spark.createDataFrame(
+        units, "src_file string, start bigint, end bigint"
+    ).repartition(max(len(units), 1))
+    return plan_df.mapInArrow(run, LINE_SCHEMA)
 
 
 def run_tail_snapshot(
@@ -134,6 +184,8 @@ def run_tail_snapshot(
         F.col("line").cast("string").alias("line_str"),
         "hwm",
         "line_no",
+        "frame_end",
+        "bytes_read",
         F.lit(hostname).alias("host"),
         F.pmod(
             F.crc32(F.encode(F.concat("src_file", F.lit("@"), F.col("hwm").cast("string")), "utf-8")),
@@ -146,7 +198,11 @@ def run_tail_snapshot(
     written = spark.read.parquet(snap_dir)
     agg = (
         written.groupBy("src_file")
-        .agg(F.count("*").alias("n"), F.max("hwm").alias("hwm"))
+        .agg(
+            F.count(F.col("line")).alias("n"),  # sentinels don't count
+            F.max("frame_end").alias("frame_end"),
+            F.max("bytes_read").alias("bytes_read"),
+        )
         .collect()
     )
     if fail_before_commit:
@@ -157,17 +213,19 @@ def run_tail_snapshot(
             "snapshot_id": snapshot_id,
             "src_file": r["src_file"],
             "offset_start": starts.get(r["src_file"], 0),
-            "offset_end": int(r["hwm"]),
+            "offset_end": int(r["frame_end"]),
             "row_count": int(r["n"]),
         }
         for r in agg
     ]
-    # files whose new bytes framed zero lines (only a partial tail) keep
-    # their old hwm — no lineage row, replanned next snapshot.
+    # files whose new bytes framed nothing complete (only a partial tail)
+    # emit no rows at all — no lineage row, replanned next snapshot (the
+    # ranged read makes that re-plan cost just the partial bytes).
     store.commit(snapshot_id, rows)
     return {
         "snapshot_id": snapshot_id,
         "lines": int(sum(r["row_count"] for r in rows)),
         "files": [f for f, _ in work],
         "output": snap_dir,
+        "bytes_read": {r["src_file"]: int(r["bytes_read"]) for r in agg},
     }

@@ -68,6 +68,49 @@ def test_time_travel_excludes_later_snapshots(spark, tmp_path):
     )
 
 
+def test_zero_row_input_file_is_marked_consumed(spark, tmp_path):
+    """An empty input parquet must get a lineage row (row_count=0) so it
+    is not re-admitted as a new (empty) snapshot on every run."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from scones.corpus import CORPUS_SCHEMA, generate_rows
+
+    cfg = _cfg(tmp_path)
+    write_corpus(str(tmp_path / "in"), n_docs=20, n_files=1, seed=71)
+    pq.write_table(
+        pa.Table.from_pylist([], schema=CORPUS_SCHEMA),
+        str(tmp_path / "in" / "docs_0008_empty.parquet"),
+    )
+    s1 = run_snapshot(spark, cfg)
+    assert s1["snapshot_id"] == 1 and s1["rows"] == 20
+    store = LineageStore(cfg.checkpoint_dir)
+    lineage = store.read_all().to_pylist()
+    empties = [r for r in lineage if r["row_count"] == 0]
+    assert len(empties) == 1
+    assert empties[0]["src_file"].endswith("docs_0008_empty.parquet")
+    # no-op rerun: the empty file is consumed, not replanned forever
+    assert run_snapshot(spark, cfg)["snapshot_id"] is None
+
+
+def test_all_empty_snapshot_commits_markers(spark, tmp_path):
+    """Even a snapshot where EVERY planned file is empty publishes
+    consumed markers instead of looping."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from scones.corpus import CORPUS_SCHEMA
+
+    cfg = _cfg(tmp_path)
+    (tmp_path / "in").mkdir()
+    for i in range(2):
+        pq.write_table(
+            pa.Table.from_pylist([], schema=CORPUS_SCHEMA),
+            str(tmp_path / "in" / f"empty_{i}.parquet"),
+        )
+    s1 = run_snapshot(spark, cfg)
+    assert s1["snapshot_id"] == 1 and s1["rows"] == 0
+    assert run_snapshot(spark, cfg)["snapshot_id"] is None
+
+
 def test_config_json_roundtrip(tmp_path):
     cfg = PipelineConfig(
         input_glob="/x/*.parquet",

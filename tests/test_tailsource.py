@@ -29,7 +29,9 @@ def _lines(spark, tmp_path):
     )
     return sorted(
         (r.src_file.rsplit("/", 1)[-1], bytes(r.line), r.hwm)
-        for r in df.select("src_file", "line", "hwm").collect()
+        for r in df.select("src_file", "line", "hwm")
+        .where("line IS NOT NULL")  # drop offset-advance sentinels
+        .collect()
     )
 
 
@@ -95,6 +97,63 @@ def test_crash_between_write_and_commit_resumes_exactly(spark, tmp_path):
         ("a.log", b"a2", 6),
         ("b.log", b"b1", 3),
     ]
+
+
+def test_ranged_read_scales_with_appended_bytes(spark, tmp_path):
+    """The Seek contract (supervisor.go:315): a snapshot over a grown file
+    reads only the appended bytes, never the whole file."""
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    f = logs / "big.log"
+    big = b"x" * 99 + b"\n"
+    f.write_bytes(big * 10_000)  # ~1 MB
+    s1 = _snap(spark, tmp_path)
+    assert s1["lines"] == 10_000
+    assert s1["bytes_read"][str(f)] == 1_000_000
+
+    with open(f, "ab") as fh:
+        fh.write(b"tail line one\ntail line two\n")
+    s2 = _snap(spark, tmp_path)
+    assert s2["lines"] == 2
+    # ranged read: 28 appended bytes cost 28 bytes of I/O, not 1 MB
+    assert s2["bytes_read"][str(f)] == 28
+
+
+def test_skipped_trailing_lines_advance_committed_offset(spark, tmp_path):
+    """Over-long lines at the END of the new bytes must still advance the
+    committed offset (the reference advances its BoltDB HWM past skipped
+    lines) — otherwise the file is re-read and re-skipped forever."""
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    f = logs / "skip.log"
+    f.write_bytes(b"ok\n" + b"very long skipped line\n")
+    s1 = _snap(spark, tmp_path, max_length=8)
+    assert s1["lines"] == 1
+    store = LineageStore(str(tmp_path / "ckpt"))
+    # committed offset covers the skipped line: file is fully consumed
+    assert plan_tail_work(store, str(logs / "*.log")) == []
+    assert _snap(spark, tmp_path, max_length=8)["snapshot_id"] is None
+
+
+def test_all_skipped_snapshot_still_commits_offset(spark, tmp_path):
+    """A snapshot whose new bytes are ALL over-long lines emits zero data
+    rows but must still commit the advance (sentinel row)."""
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    f = logs / "allskip.log"
+    f.write_bytes(b"both lines are way too long\nand this one also is\n")
+    s1 = _snap(spark, tmp_path, max_length=8)
+    assert s1["lines"] == 0 and s1["snapshot_id"] == 1
+    assert _lines(spark, tmp_path) == []  # sentinels filtered from data
+    assert plan_tail_work(
+        LineageStore(str(tmp_path / "ckpt")), str(logs / "*.log")
+    ) == []
+    # new real line after the skipped region frames from the right offset
+    with open(f, "ab") as fh:
+        fh.write(b"short\n")
+    s2 = _snap(spark, tmp_path, max_length=8)
+    assert s2["lines"] == 1
+    assert _lines(spark, tmp_path) == [("allskip.log", b"short", 55)]
 
 
 def test_multiple_files_and_new_file_discovery(spark, tmp_path):
