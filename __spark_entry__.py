@@ -784,6 +784,43 @@ def minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+# Transitive dup clustering: connected components over the verified
+# near-dup pairs.  Oracle: recursive-CTE transitive closure (exact).
+@_q(
+    "dedup_components",
+    _SHINGLES_SQL.replace("WITH toks", "WITH RECURSIVE toks")
+    + f"""
+    , sized AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sized sa ON sa.doc_id = doc_a JOIN sized sb ON sb.doc_id = doc_b
+      WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.2
+    ),
+    und AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM und
+      UNION
+      SELECT r.a, u.b FROM reach r JOIN und u ON r.b = u.a
+    )
+    SELECT a AS doc_id, LEAST(a, MIN(b)) AS component
+    FROM reach GROUP BY a
+    """,
+)
+def dedup_components(spark, sf_dir):
+    pairs = textops.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), k=3, threshold=0.2
+    )
+    return textops.dup_components(pairs)
+
+
 def _simhash_oracle_sql(bits: int = 16) -> str:
     # 16-bit token hash from the first 4 md5 hex nibbles (matches
     # textops.md5_hash16 = conv(substring(md5(tok),1,4),16,10)).

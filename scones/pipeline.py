@@ -120,7 +120,7 @@ def run_snapshot(
     except Exception:
         # an all-empty snapshot ran zero tasks → no observed row
         metrics = {"rows": 0, "payload_bytes": 0, "approx_urls": 0}
-    return {
+    summary = {
         "snapshot_id": snapshot_id,
         "n_files": len(files),
         "files": files if len(files) <= 8 else files[:3] + ["..."] + files[-1:],
@@ -135,6 +135,11 @@ def run_snapshot(
         "write_sec": t_written - t_planned,
         "audit_commit_sec": t_done - t_written,
     }
+    # durable counters (statistics.go parity, but surviving the process)
+    from .statsserver import persist_run_metrics
+
+    persist_run_metrics(cfg.checkpoint_dir, summary)
+    return summary
 
 
 def main() -> None:  # pragma: no cover — spark-submit entry point

@@ -74,6 +74,41 @@ def run_stream_available_now(
     q.awaitTermination()
 
 
+def run_stream_continuous(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    input_dir: str,
+    trigger_sec: float = 1.0,
+    max_files: int = 16,
+):
+    """Long-running daemon mode: re-discover and ship new files every
+    ``trigger_sec`` — the reference's run-forever loop (GlobRefresh tick,
+    cmd/butteredscones/butteredscones.go:85-95).  Returns the running
+    StreamingQuery; stop it with :func:`graceful_stop`.
+    """
+    routed = build_stream_plan(spark, cfg, stream_source(spark, input_dir, max_files))
+    return (
+        routed.drop("html", "extracted_str")
+        .writeStream.format("parquet")
+        .option("path", cfg.output_dir)
+        .option("checkpointLocation", os.path.join(cfg.checkpoint_dir, "stream"))
+        .partitionBy("sink_id")
+        .trigger(processingTime=f"{trigger_sec} seconds")
+        .start()
+    )
+
+
+def graceful_stop(query, timeout_sec: float = 60.0) -> None:
+    """SIGTERM-drain semantics (supervisor.go:91-94 Stop(): close the
+    request channel, WAIT for in-flight chunks to be acked): process
+    everything already discovered, then stop the trigger loop cleanly.
+    A plain ``stop()`` could abandon a discovered-but-unshipped batch to
+    the next restart; this drains first."""
+    query.processAllAvailable()
+    query.stop()
+    query.awaitTermination(timeout_sec)
+
+
 SESSION_OUTPUT_DDL = (
     "user_id bigint, session_start timestamp, session_end timestamp, "
     "n_events int"

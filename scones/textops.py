@@ -316,6 +316,71 @@ def minhash_lsh_pairs(
     )
 
 
+def dup_components(
+    pairs: DataFrame,
+    id_a: str = "doc_a",
+    id_b: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components over near-dup pair edges → (doc_id, component).
+
+    Transitive dup clustering: keep-min dedup alone treats A~B, B~C as two
+    independent pairs; components make {A,B,C} one group with component =
+    min doc_id (its canonical representative).
+
+    Algorithm: iterative min-label propagation accelerated by pointer
+    jumping (comp ← comp[comp] each round), the classic Spark/Pregel CC
+    shape — converges in O(log diameter) rounds, each round two shuffles
+    (one neighbor-min groupBy, one label self-join).  ``localCheckpoint``
+    cuts plan lineage per round so the DAG stays flat at any scale.
+    Convergence is detected by the monotone-decreasing label sum — one
+    scalar per round, no per-row diff job.
+
+    Labels are 8-byte ids; the shuffle never carries document bodies.
+    For web-scale graphs with degree skew, cap candidate generation
+    upstream (``max_df`` / LSH band sizes) — the component step itself
+    has no quadratic term.
+    """
+    edges = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    labels = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .select("u", F.least("u", "mn").alias("comp"))
+        .localCheckpoint()
+    )
+    cur = labels.agg(F.sum("comp")).first()[0]
+    for _ in range(max_iter):
+        lab_v = labels.select(
+            F.col("u").alias("v"), F.col("comp").alias("comp_v")
+        )
+        prop = sym.join(lab_v, "v").groupBy("u").agg(
+            F.min("comp_v").alias("nbr_min")
+        )
+        stepped = labels.join(prop, "u", "left").select(
+            "u",
+            F.least("comp", F.coalesce("nbr_min", F.col("comp"))).alias("comp"),
+        )
+        jump = stepped.select(
+            F.col("u").alias("comp"), F.col("comp").alias("comp2")
+        )
+        labels = (
+            stepped.join(jump, "comp", "left")
+            .select(
+                "u",
+                F.least("comp", F.coalesce("comp2", F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint()
+        )
+        new = labels.agg(F.sum("comp")).first()[0]
+        if new == cur:
+            break
+        cur = new
+    return labels.select(F.col("u").alias("doc_id"), F.col("comp").alias("component"))
+
+
 def md5_hash16(col: str | Column) -> Column:
     """16-bit token hash from the first 4 hex chars of md5.
 

@@ -99,6 +99,21 @@ def test_simhash_identical_docs_collide(spark):
     assert out[1] == out[2]
 
 
+def test_dup_components_transitive_chain(spark):
+    """A~B, B~C, C~D must cluster {A,B,C,D} even though A and D share no
+    edge — the transitive case keep-min dedup can't express.  Long chain
+    exercises >1 propagation round (pointer jumping)."""
+    from scones.textops import dup_components
+
+    chain = [(i, i + 1) for i in range(10, 30)]  # path graph, diameter 20
+    island = [(100, 101)]
+    pairs = spark.createDataFrame(chain + island, ["doc_a", "doc_b"])
+    comp = {r.doc_id: r.component for r in dup_components(pairs).collect()}
+    assert all(comp[i] == 10 for i in range(10, 31))
+    assert comp[100] == comp[101] == 100
+    assert len(comp) == 23
+
+
 def test_simhash_reshape_equals_bit_explode(spark):
     """The round-2 single-explode simhash must be value-identical to the
     round-1 bit-exploded formulation (same xxhash64 votes, 16× less

@@ -142,3 +142,49 @@ def test_windowed_host_counts_matches_batch(spark, tmp_path):
     assert got, "stream emitted nothing"
     for k, v in got.items():
         assert want[k] == v
+
+
+def test_continuous_mode_picks_up_late_files_and_stops_cleanly(
+    spark, tmp_path, host_meta_path
+):
+    """Daemon-mode parity (cmd/butteredscones.go:85-95): a processingTime
+    stream keeps re-globbing — files landing AFTER start are shipped
+    without restarting — and graceful_stop drains in-flight work before
+    terminating (SIGTERM semantics, supervisor.go:91-94)."""
+    import time
+
+    from scones.streaming import graceful_stop, run_stream_continuous
+
+    in_dir = tmp_path / "cont_in"
+    in_dir.mkdir()
+    rows = generate_rows(60, seed=71)
+    _write_files(str(in_dir), rows[:30], 1)
+
+    cfg = PipelineConfig(
+        input_glob=str(in_dir / "*.parquet"),
+        output_dir=str(tmp_path / "cont_out"),
+        checkpoint_dir=str(tmp_path / "cont_ckpt"),
+        host_meta_path=host_meta_path,
+        n_sinks=N_SINKS,
+    )
+    q = run_stream_continuous(spark, cfg, str(in_dir), trigger_sec=0.5)
+    try:
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            try:
+                if spark.read.parquet(cfg.output_dir).count() >= 30:
+                    break
+            except Exception:
+                pass  # sink dir not created yet
+            time.sleep(0.5)
+        # second wave lands while the query is RUNNING
+        _write_files(str(in_dir), rows[30:], 1, offset=1)
+        graceful_stop(q)  # must drain wave 2 before stopping
+    finally:
+        if q.isActive:
+            q.stop()
+    assert not q.isActive
+    got = {r.url: r.sink_id for r in spark.read.parquet(cfg.output_dir).collect()}
+    assert len(got) == 60, "graceful stop must drain files landed mid-run"
+    for row in rows:
+        assert got[row["url"]] == route(row["url"], N_SINKS)
