@@ -31,6 +31,10 @@ _CRLF = re.compile(rb"\r+\n")
 EXTRACT_COLS = "extracted binary, n_lines bigint, bytes_read bigint, n_skipped bigint"
 
 
+class _OffsetOverflow(Exception):
+    """Extracted batch would exceed int32 Arrow binary offsets (>2 GiB)."""
+
+
 def _frame_doc(data: bytes, max_length: int) -> tuple[bytes, int, int, int]:
     """Frame one document -> (text, n_lines, bytes_read, n_skipped).
 
@@ -124,6 +128,11 @@ def _frame_batch_vectorized(
     out_offs = csum[np.concatenate(([offs[0]], region_end))]
     # docs with no newline produce empty output: region_end==start there,
     # so out_offs is already monotone and correct.
+    if int(out_offs[-1]) > np.iinfo(np.int32).max:
+        # int32 Arrow binary offsets would silently overflow on a >2 GiB
+        # output batch — signal the caller to split the batch (a single
+        # row can never overflow: one Arrow binary cell caps at 2 GiB).
+        raise _OffsetOverflow
     out_offsets = out_offs.astype(np.int32)
     extracted = pa.Array.from_buffers(
         pa.binary(),
@@ -151,52 +160,93 @@ def extract_documents(
     pass_names = [f.name for f in passthrough]
 
     import os as _os
+    import time as _time
 
-    use_vectorized = _os.environ.get("SCONES_VECTORIZED_FRAMING", "0") == "1"
+    # Kernel choice: "1" forces the numpy mask kernel, "0" forces the
+    # per-doc bytes-ops loop, unset/"auto" CALIBRATES on the first batch
+    # of each worker — both kernels are exact, so running both once and
+    # keeping the faster is free of correctness risk.  (Round 1 gated
+    # this behind the env var alone; which kernel wins is a host memory-
+    # bandwidth property, so measuring beats configuring.)
+    _mode = _os.environ.get("SCONES_VECTORIZED_FRAMING", "auto")
+
+    def _loop_arrays(col: pa.Array) -> list[pa.Array]:
+        # per-doc loop of C-speed bytes ops (split/rfind/sub):
+        # single-pass over each doc, minimal auxiliary memory — often
+        # faster than the numpy mask kernel on bandwidth-limited hosts
+        # (the mask kernel touches ~10x the payload in auxiliary arrays).
+        texts: list[bytes] = []
+        n_lines_l: list[int] = []
+        bytes_read_l: list[int] = []
+        n_skipped_l: list[int] = []
+        for data in col.to_pylist():
+            t, nl, br, sk = _frame_doc(data or b"", max_length)
+            texts.append(t)
+            n_lines_l.append(nl)
+            bytes_read_l.append(br)
+            n_skipped_l.append(sk)
+        return [
+            pa.array(texts, pa.binary()),
+            pa.array(n_lines_l, pa.int64()),
+            pa.array(bytes_read_l, pa.int64()),
+            pa.array(n_skipped_l, pa.int64()),
+        ]
+
+    def _vec_arrays(col: pa.Array) -> list[pa.Array]:
+        # vectorized fast path: numpy over the Arrow buffers, zero
+        # per-row Python objects; raises _OffsetOverflow on >2 GiB output
+        extracted, n_lines, bytes_read = _frame_batch_vectorized(col)
+        return [
+            extracted,
+            pa.array(n_lines, pa.int64()),
+            pa.array(bytes_read, pa.int64()),
+            pa.array(np.zeros(len(col), dtype=np.int64), pa.int64()),
+        ]
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        for batch in batches:
+        use_vectorized = _mode == "1"
+        calibrated = _mode in ("0", "1") or max_length > 0
+
+        def process(batch: pa.RecordBatch) -> Iterator[pa.RecordBatch]:
+            nonlocal use_vectorized, calibrated
             col = batch.column(html_col)
-            if max_length <= 0 and use_vectorized:
-                # vectorized fast path: numpy over the Arrow buffers,
-                # zero per-row Python objects
-                extracted, n_lines, bytes_read = _frame_batch_vectorized(col)
-                n_skipped = pa.array(
-                    np.zeros(len(col), dtype=np.int64), pa.int64()
-                )
-                ex_arrays = [
-                    extracted,
-                    pa.array(n_lines, pa.int64()),
-                    pa.array(bytes_read, pa.int64()),
-                    n_skipped,
-                ]
+            if max_length > 0:
+                ex_arrays = _loop_arrays(col)
+            elif not calibrated:
+                # first batch on this worker: time both exact kernels,
+                # keep the winner for the rest of the partition stream
+                t0 = _time.perf_counter()
+                try:
+                    vec = _vec_arrays(col)
+                    t_vec = _time.perf_counter() - t0
+                except _OffsetOverflow:
+                    vec, t_vec = None, float("inf")
+                t1 = _time.perf_counter()
+                loop = _loop_arrays(col)
+                t_loop = _time.perf_counter() - t1
+                use_vectorized = t_vec < t_loop
+                calibrated = True
+                ex_arrays = vec if use_vectorized else loop
+            elif use_vectorized:
+                try:
+                    ex_arrays = _vec_arrays(col)
+                except _OffsetOverflow:
+                    if batch.num_rows > 1:
+                        mid = batch.num_rows // 2
+                        yield from process(batch.slice(0, mid))
+                        yield from process(batch.slice(mid))
+                        return
+                    ex_arrays = _loop_arrays(col)  # single huge row
             else:
-                # per-doc loop of C-speed bytes ops (split/rfind/sub):
-                # single-pass over each doc, minimal auxiliary memory —
-                # measured FASTER than the numpy mask kernel on this
-                # bandwidth-limited host (the mask kernel touches ~10x
-                # the payload in auxiliary arrays); both are exact.
-                texts: list[bytes] = []
-                n_lines_l: list[int] = []
-                bytes_read_l: list[int] = []
-                n_skipped_l: list[int] = []
-                for data in col.to_pylist():
-                    t, nl, br, sk = _frame_doc(data or b"", max_length)
-                    texts.append(t)
-                    n_lines_l.append(nl)
-                    bytes_read_l.append(br)
-                    n_skipped_l.append(sk)
-                ex_arrays = [
-                    pa.array(texts, pa.binary()),
-                    pa.array(n_lines_l, pa.int64()),
-                    pa.array(bytes_read_l, pa.int64()),
-                    pa.array(n_skipped_l, pa.int64()),
-                ]
+                ex_arrays = _loop_arrays(col)
             arrays = [batch.column(n) for n in pass_names] + ex_arrays
             yield pa.RecordBatch.from_arrays(
                 arrays,
                 pass_names + ["extracted", "n_lines", "bytes_read", "n_skipped"],
             )
+
+        for batch in batches:
+            yield from process(batch)
 
     out = df.mapInArrow(run, out_schema)
     # Lossy string view decoded JVM-side (keeps the Arrow transfer binary-only;

@@ -58,19 +58,57 @@ def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
     return "".join(out), fields
 
 
+_SENTINEL = "\x01"
+
+
+def _typed(c: Column, typ: str | None) -> Column:
+    if typ is None:
+        return c
+    # non-matching lines extract '' — nullify before casting
+    return F.when(c == "", None).otherwise(c).cast(_CASTS[typ])
+
+
 def grok_columns(
-    line_col: str | Column, pattern: str
+    line_col: str | Column, pattern: str, one_pass: bool | None = None
 ) -> dict[str, Column]:
-    """Per-field extraction columns (JVM regexp_extract, codegen-able)."""
+    """Per-field extraction columns (JVM-side, codegen-able).
+
+    Two physical strategies, identical results:
+
+      * per-field ``regexp_extract`` — k regex evaluations per row;
+      * one-pass (default when k ≥ 3): ONE ``regexp_replace`` packs all
+        groups into a sentinel-delimited string, one ``split`` unpacks —
+        2 regex evaluations per row (the match guard + the replace)
+        regardless of field count.  Rows that already contain the
+        sentinel byte (\\x01 — absent from any sane log line) fall back
+        to per-field extraction via a conditional, so the rewrite is
+        exact on every input.
+    """
     regex, fields = compile_grok(pattern)
     col = F.col(line_col) if isinstance(line_col, str) else line_col
+    if one_pass is None:
+        one_pass = len(fields) >= 3
     out: dict[str, Column] = {}
+    if not one_pass:
+        for i, (field, typ) in enumerate(fields, start=1):
+            out[field] = _typed(F.regexp_extract(col, regex, i), typ)
+        return out
+    # [\s\S] (not dotall) so DATA/GREEDYDATA keep their no-newline
+    # semantics while the wrapper still spans multi-line values; the lazy
+    # prefix reproduces regexp_extract's find-FIRST-match behavior.
+    anchored = r"^[\s\S]*?" + regex + r"[\s\S]*$"
+    replacement = _SENTINEL.join(f"${i}" for i in range(1, len(fields) + 1))
+    clean = ~col.contains(_SENTINEL)
+    packed = F.when(
+        col.rlike(regex) & clean, F.regexp_replace(col, anchored, replacement)
+    )
+    parts = F.split(packed, _SENTINEL, -1)
     for i, (field, typ) in enumerate(fields, start=1):
-        c = F.regexp_extract(col, regex, i)
-        if typ is not None:
-            # non-matching lines extract '' — nullify before casting
-            c = F.when(c == "", None).otherwise(c).cast(_CASTS[typ])
-        out[field] = c
+        c = F.when(packed.isNotNull(), F.element_at(parts, i)).otherwise(
+            # sentinel-containing rows (and non-matches): exact slow path
+            F.regexp_extract(col, regex, i)
+        )
+        out[field] = _typed(c, typ)
     return out
 
 
