@@ -593,6 +593,20 @@ def token_counts(spark, sf_dir):
 
 
 @_q(
+    "subword_counts",
+    f"""
+    SELECT doc_id,
+           len({_TOKS_SQL}) AS n_ws_tokens,
+           len(regexp_extract_all(text,
+               '{textops.BPE_ISH_REGEX.replace("'", "''")}')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def subword_counts(spark, sf_dir):
+    return textops.subword_counts(_t(spark, sf_dir, "documents"))
+
+
+@_q(
     "quality_scores",
     f"""
     SELECT doc_id, lang,
@@ -966,6 +980,49 @@ def ann_hyperplane_topk(spark, sf_dir):
 
 
 _ORACLES["ann_hyperplane_topk"] = _hyperplane_oracle_sql()
+
+
+def _ivf_oracle_sql(n_centroids: int = 8, n_probe: int = 2, k: int = 10) -> str:
+    cos = (
+        "list_dot_product({a}::DOUBLE[], {b}::DOUBLE[]) / "
+        "(sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[])) * "
+        "sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[])))"
+    )
+    c_sim = cos.format(a="e.embedding", b="c.c_emb")
+    q_sim = cos.format(a="a.embedding", b="p.q_emb")
+    return f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, embedding AS c_emb FROM embeddings
+      WHERE vec_id < {n_centroids}
+    ), sims AS (
+      SELECT e.vec_id, e.label, e.embedding, c.cid, {c_sim} AS c_sim
+      FROM embeddings e CROSS JOIN cents c
+    ), assigned AS (
+      SELECT vec_id, label, embedding, cid FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY c_sim DESC, cid ASC) AS rn
+        FROM sims
+      ) WHERE rn = 1
+    ), probes AS (
+      SELECT s.cid, s.embedding AS q_emb FROM sims s
+      WHERE s.vec_id = 0 ORDER BY s.c_sim DESC, s.cid ASC LIMIT {n_probe}
+    )
+    SELECT a.vec_id, a.label, ROUND({q_sim}, 6) AS cos_sim
+    FROM assigned a JOIN probes p ON a.cid = p.cid
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT {k}
+    """
+
+
+@_q("ann_ivf_topk", _ivf_oracle_sql(8, 2, 10))
+def ann_ivf_topk(spark, sf_dir):
+    return similarity.ann_ivf_topk(
+        _t(spark, sf_dir, "embeddings"),
+        query_vec_id=0,
+        k=10,
+        n_centroids=8,
+        n_probe=2,
+    )
 
 
 def _near_dup_oracle_sql(

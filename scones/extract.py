@@ -35,6 +35,11 @@ class _OffsetOverflow(Exception):
     """Extracted batch would exceed int32 Arrow binary offsets (>2 GiB)."""
 
 
+# Worker-process-global kernel choice (survives across tasks on a reused
+# Python worker): None = not yet calibrated, else bool(use_vectorized).
+_KERNEL_CHOICE: dict[str, bool] = {}
+
+
 def _frame_doc(data: bytes, max_length: int) -> tuple[bytes, int, int, int]:
     """Frame one document -> (text, n_lines, bytes_read, n_skipped).
 
@@ -163,12 +168,17 @@ def extract_documents(
     import time as _time
 
     # Kernel choice: "1" forces the numpy mask kernel, "0" forces the
-    # per-doc bytes-ops loop, unset/"auto" CALIBRATES on the first batch
-    # of each worker — both kernels are exact, so running both once and
-    # keeping the faster is free of correctness risk.  (Round 1 gated
-    # this behind the env var alone; which kernel wins is a host memory-
-    # bandwidth property, so measuring beats configuring.)
+    # per-doc bytes-ops loop, unset/"auto" CALIBRATES once per Python
+    # worker process — both kernels are exact, so the choice is purely
+    # physical.  Calibration slices ~4k rows off the first batch for each
+    # kernel (vectorized timed first so worker warmup noise penalizes IT,
+    # not the loop) and keeps vectorized only if it wins by >25%; the
+    # verdict is cached process-globally so reused workers never re-pay.
+    # (A naive run-both-on-every-task's-first-batch scheme mispicked
+    # under cold-cache noise and cost a measured 1.6-4x regression.)
     _mode = _os.environ.get("SCONES_VECTORIZED_FRAMING", "auto")
+    _VEC_WIN_MARGIN = 1.25
+    _CAL_ROWS = 4096
 
     def _loop_arrays(col: pa.Array) -> list[pa.Array]:
         # per-doc loop of C-speed bytes ops (split/rfind/sub):
@@ -203,30 +213,49 @@ def extract_documents(
             pa.array(np.zeros(len(col), dtype=np.int64), pa.int64()),
         ]
 
+    def _payload_bytes(col: pa.Array) -> int:
+        return int(pc.sum(pc.binary_length(pc.fill_null(col, b""))).as_py() or 0)
+
+    def _calibrate(batch: pa.RecordBatch) -> None:
+        """Time both kernels on small disjoint slices of ``batch`` and
+        cache the verdict process-globally (pure timing — the slices are
+        re-processed by the winner, so no half-calibrated output)."""
+        n = batch.num_rows
+        k = min(_CAL_ROWS, max(n // 2, 1))
+        vec_bps = 0.0
+        t0 = _time.perf_counter()
+        try:
+            c = batch.slice(0, k).column(html_col)
+            _vec_arrays(c)
+            vec_bps = max(_payload_bytes(c), 1) / max(
+                _time.perf_counter() - t0, 1e-9
+            )
+        except _OffsetOverflow:
+            pass
+        c2 = batch.slice(min(k, n - k), k).column(html_col)
+        t1 = _time.perf_counter()
+        _loop_arrays(c2)
+        loop_bps = max(_payload_bytes(c2), 1) / max(
+            _time.perf_counter() - t1, 1e-9
+        )
+        _KERNEL_CHOICE["use_vectorized"] = vec_bps > _VEC_WIN_MARGIN * loop_bps
+
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        use_vectorized = _mode == "1"
-        calibrated = _mode in ("0", "1") or max_length > 0
+        if max_length > 0 or _mode == "0":
+            use_vectorized = False
+        elif _mode == "1":
+            use_vectorized = True
+        else:
+            use_vectorized = _KERNEL_CHOICE.get("use_vectorized")
 
         def process(batch: pa.RecordBatch) -> Iterator[pa.RecordBatch]:
-            nonlocal use_vectorized, calibrated
+            nonlocal use_vectorized
             col = batch.column(html_col)
+            if use_vectorized is None:  # auto, first batch in this worker
+                _calibrate(batch)
+                use_vectorized = _KERNEL_CHOICE["use_vectorized"]
             if max_length > 0:
                 ex_arrays = _loop_arrays(col)
-            elif not calibrated:
-                # first batch on this worker: time both exact kernels,
-                # keep the winner for the rest of the partition stream
-                t0 = _time.perf_counter()
-                try:
-                    vec = _vec_arrays(col)
-                    t_vec = _time.perf_counter() - t0
-                except _OffsetOverflow:
-                    vec, t_vec = None, float("inf")
-                t1 = _time.perf_counter()
-                loop = _loop_arrays(col)
-                t_loop = _time.perf_counter() - t1
-                use_vectorized = t_vec < t_loop
-                calibrated = True
-                ex_arrays = vec if use_vectorized else loop
             elif use_vectorized:
                 try:
                     ex_arrays = _vec_arrays(col)

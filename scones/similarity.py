@@ -190,6 +190,66 @@ def near_dup_lsh_params(
     return r, n_bands
 
 
+def ann_ivf_topk(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize vectors to their nearest centroid
+    (the inverted-file list), search only the query's ``n_probe``
+    closest lists.
+
+    Centroids here are data-sampled deterministically (the first
+    ``n_centroids`` vec_ids — kmeans++-style "use real vectors" init
+    without iterations) so the whole index replays in the SQL oracle;
+    production swaps in pyspark.ml KMeans centroids — identical plan
+    shape (broadcast the centroid table, assign by max-sim, join on the
+    list id).
+
+    Scale shape: assignment is a broadcast join against k centroid rows
+    + a per-vector top-1 (window over k rows per vector — k is small by
+    construction); the search probe touches ~n_probe/k of the corpus.
+    """
+    from pyspark.sql import Window
+
+    cents = df.where(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
+    )
+    sims = df.crossJoin(F.broadcast(cents)).withColumn(
+        "c_sim", cosine("embedding", "c_emb")
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("c_sim").desc(), F.col("cid").asc()
+    )
+    assigned = (
+        sims.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "label", "embedding", "cid")
+    )
+    probes = (
+        assigned.where(F.col("vec_id") == query_vec_id)
+        .select("embedding")
+        .crossJoin(F.broadcast(cents))
+        .withColumn("c_sim", cosine("embedding", "c_emb"))
+        .orderBy(F.col("c_sim").desc(), F.col("cid").asc())
+        .limit(n_probe)
+        .select(F.col("cid"), F.col("embedding").alias("q_emb"))
+    )
+    return (
+        assigned.join(F.broadcast(probes), on="cid")
+        .where(F.col("vec_id") != query_vec_id)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine("embedding", "q_emb"), 6).alias("cos_sim"),
+        )
+        .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
+        .limit(k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

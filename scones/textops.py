@@ -40,6 +40,22 @@ def token_counts(df: DataFrame) -> DataFrame:
     )
 
 
+# GPT-2-style pre-tokenizer shape (contractions | space?-letters |
+# space?-digits | space?-punct-run | whitespace-run), RE2-compatible so
+# the DuckDB oracle replays it verbatim.  Real BPE merges would follow;
+# the pre-token count is the standard cheap token-budget estimator.
+BPE_ISH_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+|\s+"
+
+
+def subword_counts(df: DataFrame) -> DataFrame:
+    """BPE-ish subword token count per document (one JVM regexp pass)."""
+    return df.select(
+        "doc_id",
+        F.size(tokens_col()).alias("n_ws_tokens"),
+        F.regexp_count("text", F.lit(BPE_ISH_REGEX)).alias("n_bpe_tokens"),
+    )
+
+
 def quality_scores(df: DataFrame) -> DataFrame:
     """Heuristic quality: length, punctuation ratio, stopword ratio,
     mean token length — the classic pretraining-filter features."""
