@@ -32,15 +32,67 @@ PATTERNS: dict[str, str] = {
     "LOGLEVEL": r"(?:DEBUG|INFO|WARN|ERROR|FATAL|TRACE)",
     "QUOTEDSTRING": r'"[^"]*"',
     "PATH": r"(?:/[\w.-]+)+",
+    # Apache/nginx access-log building blocks
+    "HTTPDATE": r"\d{2}/\w{3}/\d{4}:\d{2}:\d{2}:\d{2} [+-]\d{4}",
+    "HTTPMETHOD": r"(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH)",
+    "HOSTNAME": r"[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?)*",
+    "SYSLOGTIMESTAMP": r"\w{3} [ \d]\d \d{2}:\d{2}:\d{2}",
 }
 
-_TOKEN = re.compile(r"%\{(\w+):(\w+)(?::(\w+))?\}")
+# Composite patterns: grok sub-pattern strings, referenced UNNAMED as
+# %{COMMONAPACHELOG} and expanded recursively before tokenization.
+# Field names follow the canonical logstash definitions.  Text between
+# tokens is literal (compile_grok escapes it), so composites use plain
+# characters only.
+COMPOSITES: dict[str, str] = {
+    "COMMONAPACHELOG": (
+        '%{NOTSPACE:clientip} %{NOTSPACE:ident} %{NOTSPACE:auth} '
+        '[%{HTTPDATE:timestamp}] "%{HTTPMETHOD:verb} %{NOTSPACE:request} '
+        'HTTP/%{NUMBER:httpversion}" %{INT:response:int} %{NOTSPACE:bytes}'
+    ),
+    "COMBINEDAPACHELOG": (
+        '%{COMMONAPACHELOG} "%{DATA:referrer}" "%{DATA:agent}"'
+    ),
+    "SYSLOGLINE": (
+        "%{SYSLOGTIMESTAMP:sys_ts} %{NOTSPACE:logsource} "
+        "%{WORD:program}[%{INT:pid:int}]: %{GREEDYDATA:message}"
+    ),
+}
+
+# %{NAME:field}, %{NAME:field:type}, or unnamed %{NAME} (non-capturing)
+_TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
+_UNNAMED_COMPOSITE = re.compile(r"%\{(\w+)\}")
+
+
+def expand_composites(pattern: str, max_depth: int = 5) -> str:
+    """Inline unnamed %{COMPOSITE} references (recursively, bounded)."""
+    for _ in range(max_depth):
+        hit = False
+
+        def sub(m: re.Match) -> str:
+            nonlocal hit
+            body = COMPOSITES.get(m.group(1))
+            if body is None:
+                return m.group(0)
+            hit = True
+            return body
+
+        pattern = _UNNAMED_COMPOSITE.sub(sub, pattern)
+        if not hit:
+            return pattern
+    raise RecursionError("composite grok pattern nesting too deep")
 
 _CASTS = {"int": "int", "long": "bigint", "double": "double", "ts": "timestamp"}
 
 
 def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
-    """Grok pattern → (single regex with ordered groups, [(field, type)])."""
+    """Grok pattern → (single regex with ordered groups, [(field, type)]).
+
+    ``%{NAME:field[:type]}`` captures; unnamed ``%{NAME}`` matches
+    without capturing; unnamed composite references
+    (``%{COMBINEDAPACHELOG}`` etc.) are inlined first.
+    """
+    pattern = expand_composites(pattern)
     fields: list[tuple[str, str | None]] = []
     out = []
     pos = 0
@@ -51,8 +103,11 @@ def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
             raise KeyError(f"unknown grok pattern %{{{name}}}")
         if typ is not None and typ not in _CASTS:
             raise KeyError(f"unknown grok type :{typ}")
-        out.append(f"({PATTERNS[name]})")
-        fields.append((field, typ))
+        if field is None:
+            out.append(f"(?:{PATTERNS[name]})")
+        else:
+            out.append(f"({PATTERNS[name]})")
+            fields.append((field, typ))
         pos = m.end()
     out.append(re.escape(pattern[pos:]))
     return "".join(out), fields

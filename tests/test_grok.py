@@ -77,3 +77,38 @@ def test_one_pass_equals_per_field(spark):
     a = df.select("line", *[c.alias(f) for f, c in fast.items()]).collect()
     b = df.select("line", *[c.alias(f) for f, c in slow.items()]).collect()
     assert a == b
+
+
+def test_composite_apache_and_syslog(spark):
+    from scones.grok import grok_parse
+
+    apache = (
+        '93.180.71.3 - frank [10/Oct/2000:13:55:36 -0700] '
+        '"GET /apache_pb.gif HTTP/1.0" 200 2326 '
+        '"http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98)"'
+    )
+    df = spark.createDataFrame([(apache,)], ["line"])
+    row = grok_parse(df, "line", "%{COMBINEDAPACHELOG}", keep_unmatched=False).collect()[0]
+    assert row.clientip == "93.180.71.3"
+    assert row.auth == "frank"
+    assert row.verb == "GET" and row.request == "/apache_pb.gif"
+    assert row.response == 200 and row.bytes == "2326"
+    assert row.referrer == "http://www.example.com/start.html"
+    assert row.agent.startswith("Mozilla/4.08")
+
+    syslog = "Feb  5 17:32:18 web01 sshd[4902]: Failed password for root"
+    df2 = spark.createDataFrame([(syslog,)], ["line"])
+    row2 = grok_parse(df2, "line", "%{SYSLOGLINE}", keep_unmatched=False).collect()[0]
+    assert row2.logsource == "web01" and row2.program == "sshd"
+    assert row2.pid == 4902
+    assert row2.message == "Failed password for root"
+
+
+def test_unnamed_token_matches_without_capturing():
+    from scones.grok import compile_grok
+    import re as _re
+
+    regex, fields = compile_grok("%{IP} -> %{WORD:action}")
+    assert [f for f, _ in fields] == ["action"]
+    m = _re.search(regex, "10.0.0.1 -> allow")
+    assert m and m.group(1) == "allow"
