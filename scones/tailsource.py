@@ -68,70 +68,120 @@ def plan_tail_work(store: LineageStore, input_glob: str) -> list[tuple[str, int]
     return work
 
 
+def split_work_units(
+    work: list[tuple[str, int]], max_range_bytes: int = 0
+) -> list[tuple[str, int, int, bool]]:
+    """(file, start, end, aligned) units; giant files split into ranges.
+
+    With ``max_range_bytes`` > 0 a single multi-GB file parallelizes
+    across tasks (the reference is strictly one reader per file).  Line
+    ownership at boundaries follows the TextInputFormat rule: a line
+    belongs to the unit containing its FIRST byte; a non-aligned unit
+    scans forward past its first newline, and every unit reads past its
+    end to finish its last straddling line — byte-exact equivalence with
+    single-unit framing is pinned by tests/test_tailsource.py.
+
+    ``aligned`` = start is a known line boundary (the committed hwm /
+    file start); non-aligned units must newline-sync first.
+    """
+    units: list[tuple[str, int, int, bool]] = []
+    for path, start in work:
+        end = os.path.getsize(path)
+        if max_range_bytes <= 0 or end - start <= max_range_bytes:
+            units.append((path, start, end, True))
+            continue
+        pos = start
+        first = True
+        while pos < end:
+            units.append((path, pos, min(pos + max_range_bytes, end), first))
+            pos += max_range_bytes
+            first = False
+    return units
+
+
 def read_tail(
     spark: SparkSession,
     work: list[tuple[str, int]],
     max_length: int = 0,
+    max_range_bytes: int = 0,
 ) -> DataFrame:
     """One row per newly-framed line across all work units, plus one
-    sentinel row (line IS NULL) per file whose frame advanced without
+    sentinel row (line IS NULL) per unit whose frame advanced without
     emitting lines.
 
     The end offset is pinned at plan time (current size), so a file
     growing mid-job still yields a consistent snapshot; bytes past
-    ``end`` are next snapshot's work.
+    ``end`` are next snapshot's work.  ``max_range_bytes`` > 0 splits
+    giant files into parallel units (see :func:`split_work_units` for
+    the boundary-ownership rule).
     """
-    units = [
-        (path, int(start), int(os.path.getsize(path)))
-        for path, start in work
-    ]
+    units = split_work_units(work, max_range_bytes)
 
     def run(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for batch in batches:
             paths = batch.column("src_file").to_pylist()
             starts = batch.column("start").to_pylist()
             ends = batch.column("end").to_pylist()
+            aligneds = batch.column("aligned").to_pylist()
             out_f: list[str] = []
             out_l: list[bytes | None] = []
             out_h: list[int] = []
             out_n: list[int] = []
             out_fe: list[int] = []
             out_br: list[int] = []
-            for path, start, end in zip(paths, starts, ends):
+            for path, start, end, aligned in zip(paths, starts, ends, aligneds):
                 # the Seek contract: read ONLY the planned byte range
+                # (+1 sync byte for non-aligned units, + overshoot to
+                # finish the straddling last owned line)
+                read_from = start if aligned else start - 1
                 with open(path, "rb") as fh:
-                    fh.seek(start)
-                    data = fh.read(end - start)
-                bytes_read = len(data)
-                pos = start
+                    fh.seek(read_from)
+                    buf = fh.read(end - read_from)
+                    # extend until the newline that terminates the line
+                    # containing byte end-1 (the straddler) is in view
+                    while buf.find(b"\n", max(end - read_from - 1, 0)) < 0:
+                        more = fh.read(1 << 20)
+                        if not more:
+                            break
+                        buf += more
+                bytes_read = len(buf)
                 cursor = 0
+                if not aligned:
+                    # first owned line starts after the first newline at
+                    # abs pos >= start-1 (TextInputFormat ownership rule)
+                    nl0 = buf.find(b"\n")
+                    if nl0 < 0 or read_from + nl0 + 1 >= end:
+                        continue  # no line starts inside this unit
+                    cursor = nl0 + 1
+                pos = read_from + cursor  # absolute framed position
+                unit_start = pos
                 line_no = 0
                 emitted_before = len(out_f)
-                while True:
-                    nl = data.find(b"\n", cursor)
+                while read_from + cursor < end:
+                    nl = buf.find(b"\n", cursor)
                     if nl < 0:
-                        break
+                        break  # partial tail at EOF: not emitted
                     raw_len = nl + 1 - cursor
                     pos += raw_len
                     if not (max_length > 0 and raw_len > max_length):
                         out_f.append(path)
-                        out_l.append(data[cursor:nl].rstrip(b"\r\n"))
+                        out_l.append(buf[cursor:nl].rstrip(b"\r\n"))
                         out_h.append(pos)
                         line_no += 1
                         out_n.append(line_no)
                     cursor = nl + 1
-                frame_end = pos  # after last complete line, incl. skipped
+                frame_end = pos  # after last complete owned line
                 n_emitted = len(out_f) - emitted_before
                 if n_emitted == 0:
-                    if frame_end > start:
-                        # all-new-bytes-skipped: sentinel row carries the
-                        # advance so the offset still commits
+                    if frame_end > unit_start:
+                        # all-owned-lines-skipped: sentinel row carries
+                        # the advance so the offset still commits
                         out_f.append(path)
                         out_l.append(None)
-                        out_h.append(start)
+                        out_h.append(unit_start)
                         out_n.append(0)
                     else:
-                        continue  # pure partial tail: nothing to commit
+                        continue  # nothing owned/complete in this unit
                     out_fe.append(frame_end)
                     out_br.append(bytes_read)
                 else:
@@ -150,7 +200,7 @@ def read_tail(
             )
 
     plan_df = spark.createDataFrame(
-        units, "src_file string, start bigint, end bigint"
+        units, "src_file string, start bigint, end bigint, aligned boolean"
     ).repartition(max(len(units), 1))
     return plan_df.mapInArrow(run, LINE_SCHEMA)
 
@@ -162,6 +212,7 @@ def run_tail_snapshot(
     checkpoint_dir: str,
     n_sinks: int = 2,
     max_length: int = 0,
+    max_range_bytes: int = 0,
     fail_before_commit: bool = False,
 ) -> dict:
     """One incremental tail snapshot: frame new bytes → decorate
@@ -176,7 +227,9 @@ def run_tail_snapshot(
         return {"snapshot_id": None, "lines": 0}
     snapshot_id = store.next_snapshot_id()
 
-    lines = read_tail(spark, work, max_length=max_length)
+    lines = read_tail(
+        spark, work, max_length=max_length, max_range_bytes=max_range_bytes
+    )
     hostname = os.uname().nodename
     routed = lines.select(
         "src_file",

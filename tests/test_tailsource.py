@@ -171,3 +171,67 @@ def test_multiple_files_and_new_file_discovery(spark, tmp_path):
     )
     per_sink = {r.sink_id: r.n for r in df.groupBy("sink_id").count().withColumnRenamed("count", "n").collect()}
     assert sum(per_sink.values()) == 80 and len(per_sink) == N_SINKS
+
+
+def test_range_split_framing_equals_single_unit(spark, tmp_path):
+    """Giant-file range splitting must be byte-exact vs one-unit framing:
+    same lines, same hwms, same committed offset — across CRLF lines,
+    skipped over-long lines, boundary-straddling lines, partial tail."""
+    import random
+
+    rng = random.Random(13)
+    parts = []
+    for i in range(400):
+        kind = rng.randrange(4)
+        if kind == 0:
+            parts.append(f"line {i}\n".encode())
+        elif kind == 1:
+            parts.append(f"crlf line {i}\r\n".encode())
+        elif kind == 2:
+            parts.append(b"x" * rng.randrange(20, 60) + b"\n")  # skippable
+        else:
+            parts.append(f"{i}:".encode() + b"y" * rng.randrange(0, 15) + b"\n")
+    blob = b"".join(parts) + b"partial tail without newline"
+
+    def run_variant(tag, max_range_bytes):
+        d = tmp_path / tag
+        (d / "logs").mkdir(parents=True)
+        (d / "logs" / "big.log").write_bytes(blob)
+        s = run_tail_snapshot(
+            spark,
+            str(d / "logs" / "*.log"),
+            str(d / "out"),
+            str(d / "ckpt"),
+            n_sinks=N_SINKS,
+            max_length=16,
+            max_range_bytes=max_range_bytes,
+        )
+        df = spark.read.parquet(str(d / "out") + "/snapshot_id=*")
+        lines = sorted(
+            (bytes(r.line), r.hwm)
+            for r in df.select("line", "hwm").where("line IS NOT NULL").collect()
+        )
+        store = LineageStore(str(d / "ckpt"))
+        committed = max(
+            r["offset_end"] for r in store.read_all().to_pylist()
+        )
+        return s["lines"], lines, committed
+
+    base = run_variant("single", 0)
+    for mrb in (64, 257, 1024):
+        got = run_variant(f"ranged{mrb}", mrb)
+        assert got == base, f"range split {mrb} diverged"
+
+
+def test_range_split_parallelizes_one_file(spark, tmp_path):
+    """A single file splits into multiple work units."""
+    from scones.tailsource import split_work_units
+
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    f = logs / "wide.log"
+    f.write_bytes(b"z" * 9 + b"\n")
+    units = split_work_units([(str(f), 0)], max_range_bytes=3)
+    assert len(units) == 4
+    assert units[0] == (str(f), 0, 3, True)
+    assert units[-1] == (str(f), 9, 10, False)
