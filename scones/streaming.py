@@ -186,6 +186,104 @@ def stateful_sessionize(events, gap_sec: int = 1800, watermark: str = "1 second"
     )
 
 
+def tws_available() -> bool:
+    """transformWithStateInPandas needs protobuf for its state-server
+    protocol (not shipped in this container) + the RocksDB state store."""
+    import importlib.util
+
+    try:
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:  # parent package 'google' absent entirely
+        return False
+
+
+def transform_sessionize(events, gap_sec: int = 1800, watermark: str = "1 second"):
+    """Sessionizer on the Spark 4 arbitrary-state v2 API
+    (``transformWithStateInPandas`` + ``StatefulProcessor``) — same
+    semantics as :func:`stateful_sessionize` (which uses the v1
+    ``applyInPandasWithState``): gap-closed sessions emit as discovered,
+    the open tail session rides in ValueState across micro-batches and
+    flushes via an event-time TIMER once the watermark passes
+    last_ts + gap.  v2 advantages: named state slots, explicit timer
+    registry (no single-timeout-per-key limitation), TTL support.
+    Equivalence with the v1 operator is pinned in
+    tests/test_stateful_sessions.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_sec * 1_000_000
+    gap_ms = gap_sec * 1_000
+
+    def _emit(user_id, sessions):
+        return pd.DataFrame(
+            {
+                "user_id": [user_id] * len(sessions),
+                "session_start": [
+                    pd.Timestamp(int(s), unit="us") for s, _, _ in sessions
+                ],
+                "session_end": [
+                    pd.Timestamp(int(e), unit="us") for _, e, _ in sessions
+                ],
+                "n_events": [int(n) for _, _, n in sessions],
+            }
+        )
+
+    class SessionProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState(
+                "session", "start double, last double, n int"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            (user_id,) = key
+            ts: list[int] = []
+            for pdf in rows:
+                ts.extend((pdf["ts"].astype("int64") // 1000).tolist())  # µs
+            if not ts:
+                return
+            ts.sort()
+            if self._state.exists():
+                start, last, n = self._state.get()
+            else:
+                start, last, n = float(ts[0]), float(ts[0]), 0
+            closed = []
+            for t in ts:
+                if t - last > gap_us:
+                    closed.append((start, last, n))
+                    start, n = float(t), 0
+                last = float(t)
+                n += 1
+            self._state.update((float(start), float(last), int(n)))
+            # event-time timer: fires when the watermark passes the gap
+            self._handle.registerTimer(int(last // 1000) + gap_ms)
+            if closed:
+                yield _emit(user_id, closed)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            (user_id,) = key
+            if not self._state.exists():
+                return
+            start, last, n = self._state.get()
+            # stale timers from earlier batches may fire first — only
+            # flush when THIS session's gap has truly elapsed
+            if expiredTimerInfo.getExpiryTimeInMs() >= int(last // 1000) + gap_ms:
+                self._state.clear()
+                yield _emit(user_id, [(start, last, n)])
+
+        def close(self) -> None:
+            pass
+
+    prepared = events.select("user_id", "ts").withWatermark("ts", watermark)
+    return prepared.groupBy("user_id").transformWithStateInPandas(
+        SessionProcessor(), SESSION_OUTPUT_DDL, "append", "eventTime"
+    )
+
+
 def windowed_host_counts(
     stream: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
 ) -> DataFrame:
