@@ -188,3 +188,40 @@ def test_continuous_mode_picks_up_late_files_and_stops_cleanly(
     assert len(got) == 60, "graceful stop must drain files landed mid-run"
     for row in rows:
         assert got[row["url"]] == route(row["url"], N_SINKS)
+
+
+def test_backpressure_bounded_batches_under_slow_sink(spark, tmp_path):
+    """SpoolSize-style backpressure (supervisor.go:46): with
+    maxFilesPerTrigger=2, a SLOW sink must still only ever see bounded
+    micro-batches — the source never piles discovered files into one
+    giant batch while the sink lags."""
+    import time
+
+    in_dir = tmp_path / "slow_in"
+    in_dir.mkdir()
+    rows = generate_rows(120, seed=91)
+    _write_files(str(in_dir), rows, 6)  # 20 rows per file
+
+    stream = (
+        spark.readStream.schema(
+            "url string, warc_ts timestamp, html binary, text string, lang string"
+        )
+        .option("maxFilesPerTrigger", 2)
+        .parquet(str(in_dir))
+    )
+    batch_sizes = []
+
+    def slow_sink(df, epoch_id):
+        time.sleep(0.3)  # sink lags behind the source
+        batch_sizes.append(df.count())
+
+    q = (
+        stream.writeStream.foreachBatch(slow_sink)
+        .option("checkpointLocation", str(tmp_path / "slow_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sum(batch_sizes) == 120
+    assert len(batch_sizes) >= 3, "files were not spread across micro-batches"
+    assert max(batch_sizes) <= 40, f"unbounded batch under slow sink: {batch_sizes}"
