@@ -182,6 +182,76 @@ def run_snapshot(
     return summary
 
 
+def run_warc_snapshot(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    fail_before_commit: bool = False,
+) -> dict:
+    """WARC-shard flavor of :func:`run_snapshot`: Common-Crawl-style
+    containers in, routed parquet sinks out, same lineage/commit
+    protocol (shards are immutable → file-granularity admission, like
+    the parquet path).
+    """
+    import time as _time
+
+    from .warc import read_warc
+
+    t_start = _time.perf_counter()
+    store = LineageStore(cfg.checkpoint_dir)
+    files = plan_new_files(store, cfg.input_glob)
+    if not files:
+        return {"snapshot_id": None, "files": [], "rows": 0}
+    snapshot_id = store.next_snapshot_id()
+
+    docs = read_warc(spark, files)
+    df = extract_documents(docs, max_length=cfg.max_length)
+    if cfg.host_meta_path:
+        df = enrich_broadcast(df, spark.read.parquet(cfg.host_meta_path))
+    else:
+        df = with_host(df)
+    routed, obs = observed(with_sink_id(df, cfg.n_sinks))
+    t_planned = _time.perf_counter()
+
+    snap_dir = os.path.join(cfg.output_dir, f"snapshot_id={snapshot_id}")
+    (
+        routed.drop("html", "extracted_str")
+        .write.mode("overwrite")
+        .partitionBy("sink_id")
+        .parquet(snap_dir)
+    )
+    t_written = _time.perf_counter()
+
+    try:
+        written = spark.read.parquet(snap_dir)
+        rows = lineage_rows_for(written, snapshot_id, planned_files=files)
+    except Exception:
+        rows = lineage_rows_for(None, snapshot_id, planned_files=files)
+    if fail_before_commit:
+        raise RuntimeError("injected crash between sink write and lineage commit")
+    store.commit(snapshot_id, rows)
+    t_done = _time.perf_counter()
+    try:
+        metrics = obs.get
+    except Exception:
+        metrics = {"rows": 0, "payload_bytes": 0, "approx_urls": 0}
+    summary = {
+        "snapshot_id": snapshot_id,
+        "n_files": len(files),
+        "files": files if len(files) <= 8 else files[:3] + ["..."] + files[-1:],
+        "rows": int(metrics["rows"]),
+        "payload_bytes": int(metrics["payload_bytes"] or 0),
+        "approx_urls": int(metrics["approx_urls"]),
+        "output": snap_dir,
+        "plan_sec": t_planned - t_start,
+        "write_sec": t_written - t_planned,
+        "audit_commit_sec": t_done - t_written,
+    }
+    from .statsserver import persist_run_metrics
+
+    persist_run_metrics(cfg.checkpoint_dir, summary)
+    return summary
+
+
 def main() -> None:  # pragma: no cover — spark-submit entry point
     import argparse
 
@@ -191,15 +261,18 @@ def main() -> None:  # pragma: no cover — spark-submit entry point
     p.add_argument("--config", required=True)
     p.add_argument(
         "--mode",
-        choices=["documents", "tail"],
+        choices=["documents", "tail", "warc"],
         default="documents",
         help="documents: parquet corpus snapshots; tail: raw log files "
-        "with byte-offset resume (the reference's native mode)",
+        "with byte-offset resume (the reference's native mode); warc: "
+        "Common-Crawl-style WARC shards (.warc/.warc.gz)",
     )
     a = p.parse_args()
     cfg = PipelineConfig.from_json(a.config)
     spark = get_spark(app_name="scones-pipeline")
-    if a.mode == "tail":
+    if a.mode == "warc":
+        print(run_warc_snapshot(spark, cfg))
+    elif a.mode == "tail":
         from .tailsource import run_tail_snapshot
 
         print(

@@ -165,3 +165,51 @@ def test_warc_to_pipeline_composition(spark, tmp_path):
         ext, sink = got[rec["url"]]
         assert ext == extract_text(rec["html"])
         assert sink == route(rec["url"], 3)
+
+
+def test_warc_pipeline_mode_end_to_end(spark, tmp_path):
+    """--mode warc: shards in, routed sinks out, lineage resume —
+    incl. gzip members and exact routed-set equality vs the oracle."""
+    from scones.config import PipelineConfig
+    from scones.pipeline import run_warc_snapshot
+
+    ts = datetime(2024, 7, 1, tzinfo=timezone.utc)
+    recs = [
+        {
+            "url": f"https://w{i % 5}.example/p/{i}",
+            "warc_ts": ts,
+            "html": f"alpha {i}\r\nbeta {i}\n".encode() + b"partial",
+        }
+        for i in range(30)
+    ]
+    shards = tmp_path / "shards"
+    shards.mkdir()
+    write_warc(str(shards / "s0.warc.gz"), recs[:15], gzip_members=True)
+    write_warc(str(shards / "s1.warc.gz"), recs[15:20], gzip_members=True)
+
+    cfg = PipelineConfig(
+        input_glob=str(shards / "*.warc.gz"),
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_sinks=3,
+    )
+    s1 = run_warc_snapshot(spark, cfg)
+    assert s1["snapshot_id"] == 1 and s1["rows"] == 20
+    # no-op rerun, then a late shard is picked up incrementally
+    assert run_warc_snapshot(spark, cfg)["snapshot_id"] is None
+    write_warc(str(shards / "s2.warc.gz"), recs[20:], gzip_members=True)
+    s3 = run_warc_snapshot(spark, cfg)
+    assert s3["rows"] == 10
+
+    got = {
+        r.url: (bytes(r.extracted), r.sink_id)
+        for r in spark.read.option("basePath", str(tmp_path / "out"))
+        .parquet(str(tmp_path / "out") + "/snapshot_id=*")
+        .select("url", "extracted", "sink_id")
+        .collect()
+    }
+    assert len(got) == 30
+    for rec in recs:
+        ext, sink = got[rec["url"]]
+        assert ext == extract_text(rec["html"])
+        assert sink == route(rec["url"], 3)
