@@ -798,6 +798,66 @@ def minhash_lsh_pairs(spark, sf_dir):
     )
 
 
+# The full cleaning funnel in ONE query: quality gate -> exact-dedup
+# keep-min -> near-dup keep-min.  The composition a pretraining corpus
+# actually runs, each stage already individually oracle-checked.
+@_q(
+    "clean_corpus",
+    _SHINGLES_SQL
+    + """
+    , sized AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY doc_a, doc_b
+    ),
+    near_dups AS (
+      SELECT DISTINCT doc_b FROM inter
+      JOIN sized sa ON sa.doc_id = doc_a JOIN sized sb ON sb.doc_id = doc_b
+      WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.2
+    ),
+    exact_reps AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+    ),
+    quality AS (
+      SELECT doc_id FROM documents
+      WHERE len(list_filter(string_split(text, ' '), x -> x <> '')) >= 15
+        AND (LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')))
+            / CAST(GREATEST(LENGTH(text), 1) AS DOUBLE) <= 0.2
+    )
+    SELECT doc_id, lang FROM documents
+    WHERE doc_id IN (SELECT doc_id FROM quality)
+      AND doc_id IN (SELECT doc_id FROM exact_reps)
+      AND doc_id NOT IN (SELECT doc_b FROM near_dups)
+    """,
+)
+def clean_corpus(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    toks = textops.tokens_col()
+    n_chars = F.length("text")
+    punct = n_chars - F.length(F.regexp_replace("text", r"[.,!?;:]", ""))
+    quality = docs.where(
+        (F.size(toks) >= 15)
+        & (punct / F.greatest(n_chars, F.lit(1)) <= 0.2)
+    ).select("doc_id")
+    exact_reps = (
+        docs.groupBy(F.md5("text"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    near_dups = (
+        textops.ngram_jaccard_pairs(docs, k=3, threshold=0.2)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    return (
+        docs.join(quality, "doc_id", "left_semi")
+        .join(exact_reps, "doc_id", "left_semi")
+        .join(near_dups, "doc_id", "left_anti")
+        .select("doc_id", "lang")
+    )
+
+
 # Transitive dup clustering: connected components over the verified
 # near-dup pairs.  Oracle: recursive-CTE transitive closure (exact).
 @_q(
