@@ -1119,13 +1119,16 @@ def _near_dup_oracle_sql(
     """
 
 
-@_q("embedding_near_dup", _near_dup_oracle_sql(4, 4, 0.3))
+# bits/band sized from the corpus count (the adaptive scale rule):
+# sf0.01's 500 vectors → r=3, matching the fixed-r oracle the driver
+# replays at sf0.01; bigger corpora automatically get bigger r (bucket
+# load ~constant), so the bench at sf0.1 runs r=7 — the 100 TB shape.
+@_q("embedding_near_dup", _near_dup_oracle_sql(3, 4, 0.3))
 def embedding_near_dup(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    r, b = similarity.near_dup_lsh_params(emb.count(), target_bucket=64)
     return similarity.embedding_near_dup_pairs(
-        _t(spark, sf_dir, "embeddings"),
-        threshold=0.3,
-        bits_per_band=4,
-        n_bands=4,
+        emb, threshold=0.3, bits_per_band=r, n_bands=b
     )
 
 
