@@ -858,22 +858,40 @@ def clean_corpus(spark, sf_dir):
     )
 
 
-# Transitive dup clustering: connected components over the verified
-# near-dup pairs.  Oracle: recursive-CTE transitive closure (exact).
+# Transitive dup clustering: connected components over the near-dup
+# pairs that the SUB-QUADRATIC minhash-LSH stage produced (the
+# production composition — exact all-pairs Jaccard doesn't exist at
+# 10^12 docs).  Oracle: the LSH-pairs SQL feeding a recursive-CTE
+# transitive closure (exact).
 @_q(
     "dedup_components",
     _SHINGLES_SQL.replace("WITH toks", "WITH RECURSIVE toks")
     + f"""
-    , sized AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+    , sigs AS (
+      SELECT doc_id, CAST(seed AS BIGINT) AS seed,
+             MIN(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS sig
+      FROM sh CROSS JOIN (SELECT UNNEST(range(0, 8)) AS seed)
+      GROUP BY doc_id, seed
+    ), bands AS (
+      SELECT doc_id, seed // 2 AS band,
+             md5(string_agg(sig, ',' ORDER BY seed)) AS band_hash
+      FROM sigs GROUP BY doc_id, band
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), sized AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
     inter AS (
-      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      SELECT doc_a, doc_b, COUNT(*) AS inter
+      FROM cand JOIN sh a ON a.doc_id = doc_a
+                JOIN sh b ON b.doc_id = doc_b AND a.shingle = b.shingle
       GROUP BY doc_a, doc_b
     ),
     pairs AS (
       SELECT doc_a, doc_b FROM inter
       JOIN sized sa ON sa.doc_id = doc_a JOIN sized sb ON sb.doc_id = doc_b
-      WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.2
+      WHERE {_JACCARD_SQL} >= 0.2
     ),
     und AS (
       SELECT doc_a AS a, doc_b AS b FROM pairs
@@ -889,8 +907,12 @@ def clean_corpus(spark, sf_dir):
     """,
 )
 def dedup_components(spark, sf_dir):
-    pairs = textops.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.2
+    pairs = textops.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=8,
+        band_size=2,
+        k=3,
+        threshold=0.2,
     )
     return textops.dup_components(pairs)
 
