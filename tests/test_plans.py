@@ -122,3 +122,44 @@ def test_cosine_topk_is_takeordered_not_full_sort(spark):
     (TakeOrderedAndProject), never a global Sort of all rows."""
     df = entrymod.queries()["cosine_topk"](spark, SF_DIR)
     assert "TakeOrderedAndProject" in _plan(df)
+
+
+def test_round2_ops_have_scale_safe_plans(spark):
+    """Plan locks for the round-2 operators: no cartesian blowups, joins
+    keyed on small columns, broadcast where a side is tiny."""
+    qs = entrymod.queries()
+
+    # IVF: centroid table must be broadcast (both assignment and probe),
+    # and the only CartesianProduct-like node is the k-row broadcast
+    # nested loop, never a shuffled cross join of the corpus.
+    ivf = _plan(qs["ann_ivf_topk"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in ivf or "BroadcastExchange" in ivf
+    assert "CartesianProduct" not in ivf
+    assert "TakeOrderedAndProject" in ivf  # top-k, not a global sort
+
+    # banded near-dup: candidate join keyed on (band, bucket) ints, the
+    # pair dedup runs BEFORE embeddings re-join (ids only in the shuffle)
+    nd = _optimized(qs["embedding_near_dup"](spark, SF_DIR))
+    assert "CartesianProduct" not in nd
+    assert nd.index("Join") < len(nd)  # joins exist
+    # the exact-verify joins are on vec_a/vec_b ids
+    assert "vec_a" in nd and "vec_b" in nd
+
+    # simhash: ONE shuffle — a single partial/final HashAggregate pair
+    # over doc_id (the reshaped form), no per-bit explode join
+    sh = _plan(qs["simhash"](spark, SF_DIR))
+    assert sh.count("Exchange hashpartitioning(doc_id") == 1
+    assert "HashAggregate" in sh
+
+
+def test_components_shuffles_ids_only(spark):
+    """dup_components' iterated joins must carry 8-byte ids, never text:
+    the label relation schema is exactly (u, comp)."""
+    from scones.textops import dup_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["doc_a", "doc_b"]
+    )
+    out = dup_components(pairs)
+    assert set(out.columns) == {"doc_id", "component"}
+    assert all(f.dataType.simpleString() == "bigint" for f in out.schema.fields)
