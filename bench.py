@@ -114,6 +114,27 @@ def reset_host_memory() -> None:
         pass
 
 
+def run_cpu_probe(master: str, corpus_dir: str, runs: int = 4) -> dict:
+    reset_host_memory()
+    out = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "tools", "bench_cpu.py"),
+            "--master",
+            master,
+            "--corpus",
+            corpus_dir,
+            "--runs",
+            str(runs),
+        ],
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=REPO,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def run_flagship(master: str, corpus_dir: str, meta_path: str, runs: int) -> dict:
     reset_host_memory()
     out = subprocess.run(
@@ -179,6 +200,13 @@ def main() -> None:
         full["write_docs_per_sec"] / low["write_docs_per_sec"]
     ) / (CPUS / 8)
 
+    # supplementary: COMPUTE-bound scaling (no Python crossing, no sink
+    # write) — the plan-quality signal with the host's shared-DRAM
+    # ceiling factored out (flagship is memcpy-shaped; this is not)
+    cpu8 = run_cpu_probe("local[8]", corpus_dir)
+    cpu_full = run_cpu_probe(f"local[{CPUS}]", corpus_dir)
+    cpu_eff = (cpu8["best_sec"] / cpu_full["best_sec"]) / (CPUS / 8)
+
     from scones.session import get_spark
 
     spark = get_spark(master=f"local[{CPUS}]", app_name="scones-bench-queries")
@@ -203,6 +231,8 @@ def main() -> None:
                 "scaling_efficiency_8_to_full": round(eff_8_full, 3),
                 "write_phase_efficiency_2_to_8": round(weff_2_8, 3),
                 "write_phase_efficiency_8_to_full": round(weff_8_full, 3),
+                "cpu_bound_efficiency_8_to_full": round(cpu_eff, 3),
+                "cpu_bound_docs_per_sec_full": cpu_full["docs_per_sec"],
                 "cpus_full": CPUS,
             }
         )
