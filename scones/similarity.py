@@ -208,28 +208,44 @@ def ann_ivf_topk(
     shape (broadcast the centroid table, assign by max-sim, join on the
     list id).
 
-    Scale shape: assignment is a broadcast join against k centroid rows
-    + a per-vector top-1 (window over k rows per vector — k is small by
-    construction); the search probe touches ~n_probe/k of the corpus.
+    Scale shape: assignment is ROW-LOCAL — the k centroids are collapsed
+    into a single array<struct<cid,c_emb>> row, broadcast, and the argmax
+    similarity folds per row with ``transform`` + ``array_min`` (same
+    construction as :func:`hyperplane_bucket`): zero shuffles, one corpus
+    scan.  Round 2 used crossJoin + ``Window.partitionBy(vec_id)``, which
+    hash-exchanged the whole corpus (embeddings included) just to pick a
+    per-row max over k values — tests/test_plans.py now locks the
+    no-Exchange shape.  The search probe touches ~n_probe/k of the corpus.
     """
-    from pyspark.sql import Window
-
     cents = df.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
-    sims = df.crossJoin(F.broadcast(cents)).withColumn(
-        "c_sim", cosine("embedding", "c_emb")
+    # one row: all centroids, cid-ascending (fold order = tie-break order)
+    cent_arr = cents.agg(
+        F.sort_array(F.collect_list(F.struct("cid", "c_emb"))).alias("cents")
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("c_sim").desc(), F.col("cid").asc()
-    )
+
+    def nearest_cid(emb: Column) -> Column:
+        # (-cosine, cid) structs → array_min picks max-sim, lowest cid on
+        # ties — identical semantics (and identical fp expression, so
+        # identical oracle agreement) to the old row_number(c_sim desc,
+        # cid asc) == 1, but evaluated entirely row-locally in codegen.
+        sims = F.transform(
+            F.col("cents"),
+            lambda c: F.struct(
+                (-cosine(emb, c["c_emb"])).alias("neg_sim"),
+                c["cid"].alias("cid"),
+            ),
+        )
+        return F.array_min(sims)["cid"]
+
     assigned = (
-        sims.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        df.crossJoin(F.broadcast(cent_arr))
+        .withColumn("cid", nearest_cid(F.col("embedding")))
         .select("vec_id", "label", "embedding", "cid")
     )
     probes = (
-        assigned.where(F.col("vec_id") == query_vec_id)
+        df.where(F.col("vec_id") == query_vec_id)
         .select("embedding")
         .crossJoin(F.broadcast(cents))
         .withColumn("c_sim", cosine("embedding", "c_emb"))

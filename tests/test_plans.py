@@ -136,6 +136,12 @@ def test_round2_ops_have_scale_safe_plans(spark):
     assert "BroadcastNestedLoopJoin" in ivf or "BroadcastExchange" in ivf
     assert "CartesianProduct" not in ivf
     assert "TakeOrderedAndProject" in ivf  # top-k, not a global sort
+    # round-3 lock: centroid assignment folds row-locally over the
+    # broadcast centroid array — the corpus is NEVER hash-exchanged
+    # (round 2's Window.partitionBy(vec_id) plan shuffled every
+    # embedding just to take a per-row argmax over k centroids)
+    assert "Exchange hashpartitioning" not in ivf
+    assert "Window" not in ivf
 
     # banded near-dup: candidate join keyed on (band, bucket) ints, the
     # pair dedup runs BEFORE embeddings re-join (ids only in the shuffle)
