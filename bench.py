@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "subword_counts",
     "dedup_components",
+    # the flagship LLM-data composition: quality gate → exact dedup →
+    # near-dup (minhash-LSH) keep-min funnel in one plan.  Absolute
+    # seconds inherit the corpus artifact noted above (32-word vocab →
+    # adversarial shingle collisions), but the headline workload needs a
+    # recorded number (round-2 verdict item 6).
+    "clean_corpus",
 ]
 
 
@@ -187,11 +193,35 @@ def main() -> None:
     # single box); 8→32 additionally collides with the VM's shared-DRAM
     # ceiling (pure memcpy scales at only ~0.60 on this host — see
     # BENCH/BASELINE.md for the hardware-ceiling analysis).
-    two = run_flagship("local[2]", corpus_dir, meta_path, runs=4)
-    low = run_flagship("local[8]", corpus_dir, meta_path, runs=5)
-    full = run_flagship(f"local[{CPUS}]", corpus_dir, meta_path, runs=5)
+    #
+    # Interleaved-level protocol (round-2 verdict item 1): this host's
+    # throughput decays monotonically over hours of JVM/worker churn
+    # (measured 4× same-day swings on identical code), so measuring
+    # level 2 first and level 32 last biases every ratio.  Each level is
+    # therefore sampled in THREE Latin-square passes — (2,8,32),
+    # (8,32,2), (32,2,8) — so every level occupies the early, middle and
+    # late slot exactly once; the per-level best across passes estimates
+    # the fresh-host steady state of each level, and ratios of those
+    # bests are drift-cancelled.  Per-pass efficiencies are also
+    # reported for transparency.
+    levels = [2, 8, CPUS]
+    samples: dict[int, list[dict]] = {n: [] for n in levels}
+    for shift in range(len(levels)):
+        for n in levels[shift:] + levels[:shift]:
+            samples[n].append(
+                run_flagship(f"local[{n}]", corpus_dir, meta_path, runs=3)
+            )
+    best = {
+        n: max(runs, key=lambda r: r["docs_per_sec"])
+        for n, runs in samples.items()
+    }
+    two, low, full = best[2], best[8], best[CPUS]
     eff_2_8 = (low["docs_per_sec"] / two["docs_per_sec"]) / 4
     eff_8_full = (full["docs_per_sec"] / low["docs_per_sec"]) / (CPUS / 8)
+    eff_2_8_passes = [
+        round((samples[8][i]["docs_per_sec"] / samples[2][i]["docs_per_sec"]) / 4, 3)
+        for i in range(len(samples[2]))
+    ]
     # the parallel write phase alone (excludes serial driver plan/commit,
     # which a 10^12-row job amortizes to zero — Amdahl analysis in
     # BENCH/BASELINE.md)
@@ -228,6 +258,7 @@ def main() -> None:
                 "docs_per_sec_full": round(full["docs_per_sec"], 1),
                 "gb_per_sec_full": round(gb / full["elapsed_sec"], 4),
                 "scaling_efficiency_2_to_8": round(eff_2_8, 3),
+                "scaling_efficiency_2_to_8_per_pass": eff_2_8_passes,
                 "scaling_efficiency_8_to_full": round(eff_8_full, 3),
                 "write_phase_efficiency_2_to_8": round(weff_2_8, 3),
                 "write_phase_efficiency_8_to_full": round(weff_8_full, 3),
