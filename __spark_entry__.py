@@ -934,7 +934,11 @@ def dedup_components(spark, sf_dir):
         k=3,
         threshold=0.2,
     )
-    return textops.dup_components(pairs)
+    # alternating large-star/small-star: diameter-independent round
+    # count — the adversarial-chain-safe production choice (round-2
+    # verdict item 7); min-propagation (dup_components) stays available
+    # for low-diameter cluster graphs.
+    return textops.dup_components_star(pairs)
 
 
 def _simhash_oracle_sql(bits: int = 16) -> str:
@@ -999,6 +1003,44 @@ def media_features(spark, sf_dir):
         F.lit("text/plain").alias("media_type"),
     )
     return extract_media_features(docs, decoder=fake_decoder)
+
+
+# Frame-sampling plumbing: fixed-stride byte windows per payload via
+# mapInPandas (a real codec would seek keyframes — same explode shape).
+# Frames are compared by md5 fingerprint + length; the payload is the
+# doc text hex'd to a binary column — DuckDB has no BLOB slicing, and
+# hex makes byte windows == char windows so VARCHAR substring replays
+# the byte-stride exactly (both engines emit unchunked uppercase hex;
+# Spark's base64 MIME-chunks with CRLFs and can't be used).  Stride math
+# mirrors sample_frames: k ∈ [0, min(max_frames, len // stride + 1)).
+@_q(
+    "frame_sample",
+    """
+    WITH payload AS (
+      SELECT doc_id, hex(encode(text)) AS p FROM documents
+    ), ks AS (SELECT UNNEST(range(0, 8)) AS k)
+    SELECT doc_id, CAST(k AS INTEGER) AS frame_idx,
+           md5(substring(p, CAST(k * 64 + 1 AS INTEGER), 64)) AS frame_fp,
+           CAST(length(substring(p, CAST(k * 64 + 1 AS INTEGER), 64))
+                AS INTEGER) AS frame_bytes
+    FROM payload CROSS JOIN ks
+    WHERE k <= least(7, length(p) // 64)
+    """,
+)
+def frame_sample(spark, sf_dir):
+    from scones.mediaops import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.encode(F.hex(F.encode("text", "utf-8")), "utf-8").alias("media"),
+    )
+    frames = sample_frames(docs, every_n_bytes=64, max_frames=8)
+    return frames.select(
+        "doc_id",
+        "frame_idx",
+        F.md5("frame").alias("frame_fp"),
+        F.octet_length("frame").cast("int").alias("frame_bytes"),
+    )
 
 
 # --------------------------------------------------------------------------

@@ -211,24 +211,34 @@ def main() -> None:
             samples[n].append(
                 run_flagship(f"local[{n}]", corpus_dir, meta_path, runs=3)
             )
+    import statistics as stats
+
     best = {
         n: max(runs, key=lambda r: r["docs_per_sec"])
         for n, runs in samples.items()
     }
     two, low, full = best[2], best[8], best[CPUS]
-    eff_2_8 = (low["docs_per_sec"] / two["docs_per_sec"]) / 4
-    eff_8_full = (full["docs_per_sec"] / low["docs_per_sec"]) / (CPUS / 8)
-    eff_2_8_passes = [
-        round((samples[8][i]["docs_per_sec"] / samples[2][i]["docs_per_sec"]) / 4, 3)
-        for i in range(len(samples[2]))
-    ]
+
+    def pass_effs(a: int, b: int, key: str) -> list[float]:
+        """Per-pass efficiency of the a→b pair; the HEADLINE is their
+        MEDIAN (per-pair medians over interleaved passes cancel drift —
+        the round-2 verdict's prescribed protocol; a best-per-level
+        ratio is biased when one level's freshest slot is fresher than
+        the other's)."""
+        return [
+            round((samples[b][i][key] / samples[a][i][key]) / (b / a), 3)
+            for i in range(len(samples[a]))
+        ]
+
+    eff_2_8_passes = pass_effs(2, 8, "docs_per_sec")
+    eff_2_8 = stats.median(eff_2_8_passes)
+    eff_8_full = stats.median(pass_effs(8, CPUS, "docs_per_sec"))
     # the parallel write phase alone (excludes serial driver plan/commit,
     # which a 10^12-row job amortizes to zero — Amdahl analysis in
     # BENCH/BASELINE.md)
-    weff_2_8 = (low["write_docs_per_sec"] / two["write_docs_per_sec"]) / 4
-    weff_8_full = (
-        full["write_docs_per_sec"] / low["write_docs_per_sec"]
-    ) / (CPUS / 8)
+    weff_2_8_passes = pass_effs(2, 8, "write_docs_per_sec")
+    weff_2_8 = stats.median(weff_2_8_passes)
+    weff_8_full = stats.median(pass_effs(8, CPUS, "write_docs_per_sec"))
 
     # supplementary: COMPUTE-bound scaling (no Python crossing, no sink
     # write) — the plan-quality signal with the host's shared-DRAM
@@ -259,6 +269,10 @@ def main() -> None:
                 "gb_per_sec_full": round(gb / full["elapsed_sec"], 4),
                 "scaling_efficiency_2_to_8": round(eff_2_8, 3),
                 "scaling_efficiency_2_to_8_per_pass": eff_2_8_passes,
+                "write_phase_efficiency_2_to_8_per_pass": weff_2_8_passes,
+                "scaling_efficiency_2_to_8_best_levels": round(
+                    (low["docs_per_sec"] / two["docs_per_sec"]) / 4, 3
+                ),
                 "scaling_efficiency_8_to_full": round(eff_8_full, 3),
                 "write_phase_efficiency_2_to_8": round(weff_2_8, 3),
                 "write_phase_efficiency_8_to_full": round(weff_8_full, 3),

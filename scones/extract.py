@@ -219,9 +219,19 @@ def extract_documents(
     def _calibrate(batch: pa.RecordBatch) -> None:
         """Time both kernels on small disjoint slices of ``batch`` and
         cache the verdict process-globally (pure timing — the slices are
-        re-processed by the winner, so no half-calibrated output)."""
+        re-processed by the winner, so no half-calibrated output).
+
+        The slices are truly disjoint halves: overlapping them would time
+        the loop kernel on cache-warm rows the vectorized kernel just
+        touched (round-2 advice).  Batches too small to split (< 2 rows)
+        skip calibration and default to the loop kernel — at that size
+        kernel choice is irrelevant anyway.
+        """
         n = batch.num_rows
-        k = min(_CAL_ROWS, max(n // 2, 1))
+        if n < 2:
+            _KERNEL_CHOICE["use_vectorized"] = False
+            return
+        k = min(_CAL_ROWS, n // 2)
         vec_bps = 0.0
         t0 = _time.perf_counter()
         try:
@@ -232,7 +242,7 @@ def extract_documents(
             )
         except _OffsetOverflow:
             pass
-        c2 = batch.slice(min(k, n - k), k).column(html_col)
+        c2 = batch.slice(k, k).column(html_col)
         t1 = _time.perf_counter()
         _loop_arrays(c2)
         loop_bps = max(_payload_bytes(c2), 1) / max(

@@ -72,6 +72,20 @@ def _tune_input_splits(spark: SparkSession, files: list[str]) -> None:
     spark.conf.set("spark.sql.files.openCostInBytes", str(open_cost))
 
 
+def _has_part_files(snap_dir: str) -> bool:
+    """True iff the snapshot directory holds at least one parquet part.
+
+    An all-empty snapshot (every planned input had zero rows) writes
+    only _SUCCESS; distinguishing that from a failed/unreadable write
+    must be an explicit listing, not an exception guess.
+    """
+    for root, _, fnames in os.walk(snap_dir):
+        for f in fnames:
+            if f.endswith(".parquet"):
+                return True
+    return False
+
+
 def build_snapshot_plan(
     spark: SparkSession, cfg: PipelineConfig, files: list[str]
 ) -> DataFrame:
@@ -141,25 +155,30 @@ def run_snapshot(
     t_written = _time.perf_counter()
 
     # Lineage from the written output (audit of what actually landed);
-    # zero-row planned files still get a consumed marker.
-    try:
+    # zero-row planned files still get a consumed marker.  The empty
+    # case is detected EXPLICITLY (no part-files under snap_dir — an
+    # all-empty snapshot writes only _SUCCESS): any read failure on a
+    # data-bearing snapshot (transient FS error, corrupt footer) must
+    # propagate, never silently commit zero-row consumed markers
+    # (round-2 advice).  On an object store, list via the FS client.
+    if _has_part_files(snap_dir):
         written = spark.read.parquet(snap_dir)
         rows = lineage_rows_for(written, snapshot_id, planned_files=files)
-    except Exception:
-        # all planned files were empty → no parquet parts to infer a
-        # schema from; commit pure zero-row markers
+        metrics_empty = False
+    else:
         rows = lineage_rows_for(None, snapshot_id, planned_files=files)
+        metrics_empty = True
 
     if fail_before_commit:
         raise RuntimeError("injected crash between sink write and lineage commit")
 
     store.commit(snapshot_id, rows)
     t_done = _time.perf_counter()
-    try:
-        metrics = obs.get
-    except Exception:
-        # an all-empty snapshot ran zero tasks → no observed row
+    if metrics_empty:
+        # an all-empty snapshot ran zero output tasks → no observed row
         metrics = {"rows": 0, "payload_bytes": 0, "approx_urls": 0}
+    else:
+        metrics = obs.get
     summary = {
         "snapshot_id": snapshot_id,
         "n_files": len(files),
@@ -221,19 +240,23 @@ def run_warc_snapshot(
     )
     t_written = _time.perf_counter()
 
-    try:
+    # same explicit empty-snapshot detection as run_snapshot (no bare
+    # except — real read failures propagate)
+    if _has_part_files(snap_dir):
         written = spark.read.parquet(snap_dir)
         rows = lineage_rows_for(written, snapshot_id, planned_files=files)
-    except Exception:
+        metrics_empty = False
+    else:
         rows = lineage_rows_for(None, snapshot_id, planned_files=files)
+        metrics_empty = True
     if fail_before_commit:
         raise RuntimeError("injected crash between sink write and lineage commit")
     store.commit(snapshot_id, rows)
     t_done = _time.perf_counter()
-    try:
-        metrics = obs.get
-    except Exception:
+    if metrics_empty:
         metrics = {"rows": 0, "payload_bytes": 0, "approx_urls": 0}
+    else:
+        metrics = obs.get
     summary = {
         "snapshot_id": snapshot_id,
         "n_files": len(files),
@@ -267,26 +290,54 @@ def main() -> None:  # pragma: no cover — spark-submit entry point
         "with byte-offset resume (the reference's native mode); warc: "
         "Common-Crawl-style WARC shards (.warc/.warc.gz)",
     )
+    p.add_argument(
+        "--daemon",
+        action="store_true",
+        help="run forever: retry failed snapshots with exponential "
+        "backoff, back off idle polls, drain cleanly on SIGTERM/SIGINT "
+        "(the reference's supervisor loop, supervisor.go:94-231)",
+    )
     a = p.parse_args()
     cfg = PipelineConfig.from_json(a.config)
+    if a.daemon:
+        # install BEFORE the (slow) JVM launch: a TERM during startup
+        # must also drain, not die mid-initialization
+        import signal
+        import threading
+
+        stop = threading.Event()
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, lambda *_: stop.set())
     spark = get_spark(app_name="scones-pipeline")
     if a.mode == "warc":
-        print(run_warc_snapshot(spark, cfg))
+        run_fn = run_warc_snapshot
     elif a.mode == "tail":
         from .tailsource import run_tail_snapshot
 
-        print(
-            run_tail_snapshot(
-                spark,
-                cfg.input_glob,
-                cfg.output_dir,
-                cfg.checkpoint_dir,
-                n_sinks=cfg.n_sinks,
-                max_length=cfg.max_length,
+        def run_fn(spark_, cfg_):
+            return run_tail_snapshot(
+                spark_,
+                cfg_.input_glob,
+                cfg_.output_dir,
+                cfg_.checkpoint_dir,
+                n_sinks=cfg_.n_sinks,
+                max_length=cfg_.max_length,
             )
+    else:
+        run_fn = run_snapshot
+
+    if a.daemon:
+        from .backoff import run_daemon
+
+        run_daemon(
+            spark,
+            cfg,
+            run_fn=run_fn,
+            stop_event=stop,
+            on_event=lambda ev: print(ev, flush=True),
         )
     else:
-        print(run_snapshot(spark, cfg))
+        print(run_fn(spark, cfg))
 
 
 if __name__ == "__main__":  # pragma: no cover

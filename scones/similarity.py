@@ -225,15 +225,19 @@ def ann_ivf_topk(
         F.sort_array(F.collect_list(F.struct("cid", "c_emb"))).alias("cents")
     )
 
-    def nearest_cid(emb: Column) -> Column:
+    def nearest_cid(emb: Column, emb_norm: Column) -> Column:
         # (-cosine, cid) structs → array_min picks max-sim, lowest cid on
-        # ties — identical semantics (and identical fp expression, so
-        # identical oracle agreement) to the old row_number(c_sim desc,
-        # cid asc) == 1, but evaluated entirely row-locally in codegen.
+        # ties — identical semantics (and an fp-identical expression
+        # dot/(norm_a*norm_b), so identical oracle agreement) to the old
+        # row_number(c_sim desc, cid asc) == 1, but evaluated entirely
+        # row-locally in codegen.  The row's own norm is hoisted out of
+        # the fold (it doesn't vary across the k centroids).
         sims = F.transform(
             F.col("cents"),
             lambda c: F.struct(
-                (-cosine(emb, c["c_emb"])).alias("neg_sim"),
+                (-(dot(emb, c["c_emb"]) / (emb_norm * norm(c["c_emb"])))).alias(
+                    "neg_sim"
+                ),
                 c["cid"].alias("cid"),
             ),
         )
@@ -241,7 +245,8 @@ def ann_ivf_topk(
 
     assigned = (
         df.crossJoin(F.broadcast(cent_arr))
-        .withColumn("cid", nearest_cid(F.col("embedding")))
+        .withColumn("emb_norm", norm("embedding"))
+        .withColumn("cid", nearest_cid(F.col("embedding"), F.col("emb_norm")))
         .select("vec_id", "label", "embedding", "cid")
     )
     probes = (

@@ -84,7 +84,56 @@ def read_run_metrics(checkpoint_dir: str) -> list[dict]:
     return pa.concat_tables([pq.read_table(f) for f in files]).to_pylist()
 
 
-def stats_payload(checkpoint_dir: str, input_glob: str) -> dict:
+def sink_stats(output_dir: str) -> dict[str, dict]:
+    """Per-sink live counters (statistics.go:34-45 ClientStatistics
+    parity: status / lines_sent / last_send_time / last_chunk_size).
+
+    Computed per GET from the committed routed output's parquet FOOTERS
+    (num_rows) + os.stat — metadata only, no data read, exactly like the
+    reference re-stat()ing every file per request (statistics.go:140-159).
+    A sink here is a routed partition directory ``sink_id=K``; the last
+    chunk is the newest committed snapshot that wrote to it.
+    """
+    sinks: dict[int, dict] = {}
+    pattern = os.path.join(output_dir, "snapshot_id=*", "sink_id=*", "*.parquet")
+    for path in sorted(globmod.glob(pattern)):
+        sink_dir = os.path.dirname(path)
+        snap_dir = os.path.dirname(sink_dir)
+        try:
+            sink_id = int(os.path.basename(sink_dir).split("=", 1)[1])
+            snapshot_id = int(os.path.basename(snap_dir).split("=", 1)[1])
+        except ValueError:
+            continue
+        try:
+            st = os.stat(path)
+            n_rows = pq.ParquetFile(path).metadata.num_rows
+        except OSError:
+            continue  # racing a concurrent overwrite; skip this part
+        s = sinks.setdefault(
+            sink_id,
+            {
+                "status": "idle",
+                "rows_sent": 0,
+                "bytes_sent": 0,
+                "last_send_time": 0.0,
+                "last_snapshot_id": 0,
+                "last_chunk_size": 0,
+            },
+        )
+        s["rows_sent"] += n_rows
+        s["bytes_sent"] += st.st_size
+        s["last_send_time"] = max(s["last_send_time"], st.st_mtime)
+        if snapshot_id > s["last_snapshot_id"]:
+            s["last_snapshot_id"] = snapshot_id
+            s["last_chunk_size"] = n_rows
+        elif snapshot_id == s["last_snapshot_id"]:
+            s["last_chunk_size"] += n_rows
+    return {str(k): sinks[k] for k in sorted(sinks)}
+
+
+def stats_payload(
+    checkpoint_dir: str, input_glob: str, output_dir: str | None = None
+) -> dict:
     """The JSON the endpoint serves (and tests assert against):
     {runs, files, backlog} — the reference's {clients, files} shape with
     Spark-native meanings.
@@ -121,12 +170,20 @@ def stats_payload(checkpoint_dir: str, input_glob: str) -> dict:
     return {
         "runs": runs,
         "files": files,
+        # per-sink ClientStatistics parity (statistics.go:34-45) — only
+        # when the caller wires the routed output dir in
+        "sinks": sink_stats(output_dir) if output_dir else {},
         "backlog": {
             "files_discovered": len(discovered),
             "files_committed": len(committed),
             "files_pending": [f for f in discovered if f not in committed],
             "rows_committed": sum(r["row_count"] for r in lineage),
-            "bytes_committed": sum(r["offset_end"] for r in lineage),
+            # per-row byte spans, NOT offset_end: in tail mode offset_end
+            # is a cumulative high-water mark, so a file committed across
+            # N snapshots would be multiply counted (round-2 advice)
+            "bytes_committed": sum(
+                r["offset_end"] - r["offset_start"] for r in lineage
+            ),
             "snapshots": store.committed_snapshots(),
         },
     }
@@ -137,8 +194,16 @@ class StatisticsServer:
     parity).  Runs on a daemon thread next to the driver; ``port=0``
     binds an ephemeral port (read it from ``.port``)."""
 
-    def __init__(self, checkpoint_dir: str, input_glob: str, port: int = 0):
-        payload = lambda: stats_payload(checkpoint_dir, input_glob)  # noqa: E731
+    def __init__(
+        self,
+        checkpoint_dir: str,
+        input_glob: str,
+        port: int = 0,
+        output_dir: str | None = None,
+    ):
+        payload = lambda: stats_payload(  # noqa: E731
+            checkpoint_dir, input_glob, output_dir
+        )
 
         class Handler(BaseHTTPRequestHandler):
             def do_GET(self):  # noqa: N802 (stdlib API name)

@@ -48,7 +48,7 @@ from .lineage import LineageStore
 
 LINE_SCHEMA = (
     "src_file string, line binary, hwm bigint, line_no bigint, "
-    "frame_end bigint, bytes_read bigint"
+    "frame_end bigint, bytes_read bigint, unit_start bigint"
 )
 
 
@@ -129,6 +129,10 @@ def read_tail(
             out_n: list[int] = []
             out_fe: list[int] = []
             out_br: list[int] = []
+            out_us: list[int] = []  # planned unit start: the per-unit key
+            # for exact I/O accounting when range splitting is on (two
+            # units of one file can read identical byte counts, so
+            # bytes_read alone can't identify a unit — round-2 advice)
             for path, start, end, aligned in zip(paths, starts, ends, aligneds):
                 # the Seek contract: read ONLY the planned byte range
                 # (+1 sync byte for non-aligned units, + overshoot to
@@ -184,9 +188,11 @@ def read_tail(
                         continue  # nothing owned/complete in this unit
                     out_fe.append(frame_end)
                     out_br.append(bytes_read)
+                    out_us.append(start)
                 else:
                     out_fe.extend([frame_end] * n_emitted)
                     out_br.extend([bytes_read] * n_emitted)
+                    out_us.extend([start] * n_emitted)
             yield pa.RecordBatch.from_arrays(
                 [
                     pa.array(out_f, pa.string()),
@@ -195,8 +201,17 @@ def read_tail(
                     pa.array(out_n, pa.int64()),
                     pa.array(out_fe, pa.int64()),
                     pa.array(out_br, pa.int64()),
+                    pa.array(out_us, pa.int64()),
                 ],
-                ["src_file", "line", "hwm", "line_no", "frame_end", "bytes_read"],
+                [
+                    "src_file",
+                    "line",
+                    "hwm",
+                    "line_no",
+                    "frame_end",
+                    "bytes_read",
+                    "unit_start",
+                ],
             )
 
     plan_df = spark.createDataFrame(
@@ -239,6 +254,7 @@ def run_tail_snapshot(
         "line_no",
         "frame_end",
         "bytes_read",
+        "unit_start",
         F.lit(hostname).alias("host"),
         F.pmod(
             F.crc32(F.encode(F.concat("src_file", F.lit("@"), F.col("hwm").cast("string")), "utf-8")),
@@ -249,12 +265,22 @@ def run_tail_snapshot(
     routed.write.mode("overwrite").partitionBy("sink_id").parquet(snap_dir)
 
     written = spark.read.parquet(snap_dir)
+    # exact I/O accounting with range splitting: bytes_read is constant
+    # within a unit, so max-per-unit → sum-per-file is the total bytes
+    # the snapshot actually read from that file (round-2 advice: a bare
+    # per-file max reported one unit's cost when max_range_bytes > 0)
     agg = (
-        written.groupBy("src_file")
+        written.groupBy("src_file", "unit_start")
         .agg(
             F.count(F.col("line")).alias("n"),  # sentinels don't count
             F.max("frame_end").alias("frame_end"),
             F.max("bytes_read").alias("bytes_read"),
+        )
+        .groupBy("src_file")
+        .agg(
+            F.sum("n").alias("n"),
+            F.max("frame_end").alias("frame_end"),
+            F.sum("bytes_read").alias("bytes_read"),
         )
         .collect()
     )

@@ -91,3 +91,76 @@ def test_deleted_file_reports_size_minus_one(spark, tmp_path):
     payload = stats_payload(cfg.checkpoint_dir, cfg.input_glob)
     assert payload["files"][victim]["size"] == -1  # statistics.go:150-156
     assert payload["files"][victim]["backlog_bytes"] == 0
+
+def test_per_sink_counters_match_routed_output(spark, tmp_path):
+    """statistics.go:34-45 ClientStatistics parity: per-sink rows_sent
+    equals a direct groupBy over the committed routed output, and
+    last_chunk_size tracks the newest snapshot's contribution."""
+    cfg = _cfg(tmp_path)
+    write_corpus(str(tmp_path / "in"), n_docs=40, n_files=2, seed=86)
+    run_snapshot(spark, cfg)
+
+    payload = stats_payload(cfg.checkpoint_dir, cfg.input_glob, cfg.output_dir)
+    truth = {
+        str(r["sink_id"]): r["n"]
+        for r in spark.read.option("basePath", cfg.output_dir)
+        .parquet(cfg.output_dir)
+        .groupBy("sink_id")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert {k: v["rows_sent"] for k, v in payload["sinks"].items()} == truth
+    for s in payload["sinks"].values():
+        assert s["last_snapshot_id"] == 1
+        assert s["last_chunk_size"] == s["rows_sent"]  # one snapshot so far
+        assert s["bytes_sent"] > 0 and s["last_send_time"] > 0
+
+    # second snapshot: rows_sent accumulates, last_chunk_size = the delta
+    write_corpus(str(tmp_path / "in2"), n_docs=12, n_files=1, seed=87)
+    import shutil
+
+    shutil.copy(
+        str(tmp_path / "in2" / "docs_0000.parquet"),
+        str(tmp_path / "in" / "docs_0050.parquet"),
+    )
+    run_snapshot(spark, cfg)
+    p2 = stats_payload(cfg.checkpoint_dir, cfg.input_glob, cfg.output_dir)
+    assert sum(s["rows_sent"] for s in p2["sinks"].values()) == 52
+    assert sum(
+        s["last_chunk_size"]
+        for s in p2["sinks"].values()
+        if s["last_snapshot_id"] == 2
+    ) == 12
+
+    # the HTTP endpoint serves the same per-sink view
+    srv = StatisticsServer(
+        cfg.checkpoint_dir, cfg.input_glob, output_dir=cfg.output_dir
+    ).start()
+    try:
+        got = json.loads(
+            urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/", timeout=10
+            ).read()
+        )
+        assert got["sinks"] == p2["sinks"]
+    finally:
+        srv.stop()
+
+
+def test_bytes_committed_sums_spans_not_hwm(tmp_path):
+    """Tail-mode lineage carries cumulative HWM offsets: a file committed
+    across two snapshots (0-100 then 100-250) must report 250 committed
+    bytes, not 350 (round-2 advice)."""
+    store = LineageStore(str(tmp_path / "ckpt"))
+    store.commit(1, [{
+        "snapshot_id": 1, "src_file": str(tmp_path / "a.log"),
+        "offset_start": 0, "offset_end": 100, "row_count": 4,
+    }])
+    store.commit(2, [{
+        "snapshot_id": 2, "src_file": str(tmp_path / "a.log"),
+        "offset_start": 100, "offset_end": 250, "row_count": 6,
+    }])
+    payload = stats_payload(str(tmp_path / "ckpt"), str(tmp_path / "*.log"))
+    assert payload["backlog"]["bytes_committed"] == 250
+    assert payload["backlog"]["rows_committed"] == 10

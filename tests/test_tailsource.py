@@ -235,3 +235,29 @@ def test_range_split_parallelizes_one_file(spark, tmp_path):
     assert len(units) == 4
     assert units[0] == (str(f), 0, 3, True)
     assert units[-1] == (str(f), 9, 10, False)
+
+
+def test_range_split_bytes_read_sums_all_units(spark, tmp_path):
+    """With range splitting, summary bytes_read must be the TOTAL I/O
+    across a file's units (max-per-unit → sum-per-file), not one unit's
+    max — two equal-sized middle units read identical byte counts and a
+    bare per-file max silently under-reported (round-2 advice)."""
+    logs = tmp_path / "logs"
+    logs.mkdir()
+    f = logs / "wide.log"
+    line = b"q" * 9 + b"\n"
+    f.write_bytes(line * 100)  # 1000 bytes
+    s = run_tail_snapshot(
+        spark,
+        str(logs / "*.log"),
+        str(tmp_path / "out"),
+        str(tmp_path / "ckpt"),
+        n_sinks=N_SINKS,
+        max_range_bytes=250,  # 4 units of 250 bytes each
+    )
+    assert s["lines"] == 100
+    # every unit reads its 250-byte range; only boundary sync/straddle
+    # overshoot may add a few bytes — never less than the file size and
+    # never a single unit's 250
+    assert s["bytes_read"][str(f)] >= 1000
+    assert s["bytes_read"][str(f)] < 1100
