@@ -297,6 +297,14 @@ def main() -> None:  # pragma: no cover — spark-submit entry point
         "backoff, back off idle polls, drain cleanly on SIGTERM/SIGINT "
         "(the reference's supervisor loop, supervisor.go:94-231)",
     )
+    p.add_argument(
+        "--stats-port",
+        type=int,
+        default=None,
+        help="serve the live statistics JSON endpoint on this port "
+        "alongside the run (the reference starts its StatisticsServer "
+        "next to the supervisor, cmd/butteredscones/butteredscones.go:65-75)",
+    )
     a = p.parse_args()
     cfg = PipelineConfig.from_json(a.config)
     if a.daemon:
@@ -308,6 +316,17 @@ def main() -> None:  # pragma: no cover — spark-submit entry point
         stop = threading.Event()
         for sig in (signal.SIGTERM, signal.SIGINT):
             signal.signal(sig, lambda *_: stop.set())
+    srv = None
+    if a.stats_port is not None:
+        from .statsserver import StatisticsServer
+
+        srv = StatisticsServer(
+            cfg.checkpoint_dir,
+            cfg.input_glob,
+            port=a.stats_port,
+            output_dir=cfg.output_dir,
+        ).start()
+        print({"stats_endpoint": f"http://127.0.0.1:{srv.port}/"}, flush=True)
     spark = get_spark(app_name="scones-pipeline")
     if a.mode == "warc":
         run_fn = run_warc_snapshot
@@ -338,6 +357,8 @@ def main() -> None:  # pragma: no cover — spark-submit entry point
         )
     else:
         print(run_fn(spark, cfg))
+    if srv is not None:
+        srv.stop()
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -17,7 +17,16 @@ from pyspark.sql import SparkSession
 # scaled up for columnar transfer): 64k-row batches measured ~1.4x faster
 # than 10k on the extract path — fewer allocations, fewer page faults,
 # better amortized IPC.
-ARROW_MAX_RECORDS = 65_536
+# Arrow batch size for the Python crossing.  Round 3 re-measured this
+# warm (persistent JVM, per-level affinity): 16k batches are 1.6× faster
+# than 64k at 8 AND 32 concurrent workers and neutral at 2 — a 64k batch
+# of ~1.9 KB docs materializes ~120 MB of FRESH buffers per batch on the
+# python side (input copy + output arrays), and this host's serialized
+# page-fault handler makes concurrent large allocations collide (per-core
+# extract throughput halved from 1→8 workers at 64k).  Round 1's 64k
+# pick was measured under cold-JVM startup noise.  At ~2 KB/doc, 16k
+# rows ≈ 30 MB per batch — still far above per-row overhead territory.
+ARROW_MAX_RECORDS = 16_384
 
 
 def get_spark(

@@ -157,6 +157,10 @@ def test_round2_ops_have_scale_safe_plans(spark):
     assert sh.count("Exchange hashpartitioning(doc_id") == 1
     assert "HashAggregate" in sh
 
+    # frame_sample: a pure scan → mapInPandas explode — zero exchanges
+    fs = _plan(qs["frame_sample"](spark, SF_DIR))
+    assert "Exchange" not in fs
+
 
 def test_components_shuffles_ids_only(spark):
     """Both CC variants' iterated joins must carry 8-byte ids, never

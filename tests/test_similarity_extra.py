@@ -130,3 +130,37 @@ def test_near_dup_hyperplane_mode(spark):
     truth = _brute_pairs(spark, df, 0.5)
     assert got <= truth
     assert got == truth  # one pair on this corpus; hyperplanes keep it
+
+
+def test_ivf_more_probes_search_superset(spark):
+    """IVF with more probe lists must search a candidate-pool superset
+    (same deterministic centroids, fixed assignment)."""
+    from scones.similarity import ann_ivf_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    big = 10**6  # k beyond any pool size → compare the raw pools
+    p1 = {r.vec_id for r in ann_ivf_topk(df, 0, k=big, n_probe=1).collect()}
+    p2 = {r.vec_id for r in ann_ivf_topk(df, 0, k=big, n_probe=2).collect()}
+    p4 = {r.vec_id for r in ann_ivf_topk(df, 0, k=big, n_probe=4).collect()}
+    assert p1 <= p2 <= p4
+
+
+def test_ivf_recall_at_10_vs_bruteforce(spark):
+    """Measured recall@10 floor for the IVF tier over several query
+    vectors (TODO item 8's quality benchmark precondition: a recall
+    metric that doesn't depend on the SQL oracle).  n_probe=2 of 8
+    lists searches ~1/4 of the corpus; full-probe (n_probe=8) must be
+    exact because every list is searched."""
+    from scones.similarity import ann_ivf_topk, cosine_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    queries = [0, 17, 99, 250, 444]
+    hits = total = 0
+    for q in queries:
+        truth = {r.vec_id for r in cosine_topk(df, q, k=10).collect()}
+        got = {r.vec_id for r in ann_ivf_topk(df, q, k=10, n_probe=2).collect()}
+        full = {r.vec_id for r in ann_ivf_topk(df, q, k=10, n_probe=8).collect()}
+        assert full == truth  # probing every list == brute force
+        hits += len(got & truth)
+        total += len(truth)
+    assert hits / total >= 0.5, f"ivf recall@10 collapsed: {hits}/{total}"

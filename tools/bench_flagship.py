@@ -34,6 +34,16 @@ def main() -> None:
     p.add_argument("--host-meta", required=True)
     p.add_argument("--n-sinks", type=int, default=4)
     p.add_argument("--runs", type=int, default=3)
+    p.add_argument(
+        "--serve",
+        action="store_true",
+        help="persistent mode: init the JVM once, then run --runs "
+        "snapshots per 'run' line on stdin, printing one JSON result "
+        "line each; exits on 'exit'/EOF.  Lets the harness interleave "
+        "parallelism levels without paying JVM startup + AlwaysPreTouch "
+        "fault traffic per cell (9 launches × 12 GB pre-touch per bench "
+        "measurably decays this virtualized host mid-measurement).",
+    )
     args = p.parse_args()
 
     n = args.master[args.master.find("[") + 1 : args.master.find("]")]
@@ -46,42 +56,49 @@ def main() -> None:
 
     spark = get_spark(master=args.master, app_name="scones-bench")
 
-    times = []
-    write_times = []
-    rows = payload = 0
-    for _ in range(args.runs):
-        work = tempfile.mkdtemp(prefix="scones_bench_")
-        cfg = PipelineConfig(
-            input_glob=os.path.join(args.corpus, "*.parquet"),
-            output_dir=os.path.join(work, "out"),
-            checkpoint_dir=os.path.join(work, "ckpt"),
-            host_meta_path=args.host_meta,
-            n_sinks=args.n_sinks,
-        )
-        t0 = time.perf_counter()
-        summary = run_snapshot(spark, cfg)
-        times.append(time.perf_counter() - t0)
-        write_times.append(summary["write_sec"])
-        rows = summary["rows"]
-        payload = summary["payload_bytes"]
-        shutil.rmtree(work, ignore_errors=True)
+    def measure(runs: int) -> dict:
+        times = []
+        write_times = []
+        rows = payload = 0
+        for _ in range(runs):
+            work = tempfile.mkdtemp(prefix="scones_bench_")
+            cfg = PipelineConfig(
+                input_glob=os.path.join(args.corpus, "*.parquet"),
+                output_dir=os.path.join(work, "out"),
+                checkpoint_dir=os.path.join(work, "ckpt"),
+                host_meta_path=args.host_meta,
+                n_sinks=args.n_sinks,
+            )
+            t0 = time.perf_counter()
+            summary = run_snapshot(spark, cfg)
+            times.append(time.perf_counter() - t0)
+            write_times.append(summary["write_sec"])
+            rows = summary["rows"]
+            payload = summary["payload_bytes"]
+            shutil.rmtree(work, ignore_errors=True)
+        best = min(times)
+        best_write = min(write_times)
+        return {
+            "master": args.master,
+            "elapsed_sec": best,
+            "write_sec": best_write,
+            "all_runs_sec": [round(t, 2) for t in times],
+            "rows": rows,
+            "payload_bytes": payload,
+            "docs_per_sec": rows / best,
+            "write_docs_per_sec": rows / best_write,
+        }
 
-    best = min(times)
-    best_write = min(write_times)
-    print(
-        json.dumps(
-            {
-                "master": args.master,
-                "elapsed_sec": best,
-                "write_sec": best_write,
-                "all_runs_sec": [round(t, 2) for t in times],
-                "rows": rows,
-                "payload_bytes": payload,
-                "docs_per_sec": rows / best,
-                "write_docs_per_sec": rows / best_write,
-            }
-        )
-    )
+    if args.serve:
+        print(json.dumps({"ready": args.master}), flush=True)
+        for line in sys.stdin:
+            cmd = line.strip()
+            if cmd == "run":
+                print(json.dumps(measure(args.runs)), flush=True)
+            elif cmd == "exit" or cmd == "":
+                break
+    else:
+        print(json.dumps(measure(args.runs)))
     spark.stop()
 
 
