@@ -37,7 +37,22 @@ PATTERNS: dict[str, str] = {
     "HTTPMETHOD": r"(?:GET|POST|PUT|DELETE|HEAD|OPTIONS|PATCH)",
     "HOSTNAME": r"[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?(?:\.[A-Za-z0-9](?:[A-Za-z0-9-]*[A-Za-z0-9])?)*",
     "SYSLOGTIMESTAMP": r"\w{3} [ \d]\d \d{2}:\d{2}:\d{2}",
+    # Contributed dictionary (public logstash-patterns-core shapes,
+    # re-derived: each is the standard textbook regex for the format)
+    "USERNAME": r"[a-zA-Z0-9._-]+",
+    "EMAILADDRESS": r"[a-zA-Z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "UUID": r"[0-9a-fA-F]{8}-(?:[0-9a-fA-F]{4}-){3}[0-9a-fA-F]{12}",
+    "MAC": r"(?:[0-9a-fA-F]{2}:){5}[0-9a-fA-F]{2}",
+    "IPV6": r"(?:[0-9a-fA-F]{0,4}:){2,7}[0-9a-fA-F]{0,4}(?:%\w+)?",
+    "URIPROTO": r"[A-Za-z][A-Za-z0-9+.-]*",
+    "URI": r"[A-Za-z][A-Za-z0-9+.-]*://\S+",
+    "DATESTAMP_SLASH": r"\d{4}/\d{2}/\d{2} \d{2}:\d{2}:\d{2}",
+    "ISO8601_TIMEZONE": r"(?:Z|[+-]\d{2}:?\d{2})",
+    "POSINT": r"\d+",
 }
+# IPORHOST references IP + HOSTNAME; built after the dict so it can
+# compose them without forward references.
+PATTERNS["IPORHOST"] = f"(?:{PATTERNS['IP']}|{PATTERNS['HOSTNAME']})"
 
 # Composite patterns: grok sub-pattern strings, referenced UNNAMED as
 # %{COMMONAPACHELOG} and expanded recursively before tokenization.
@@ -57,7 +72,14 @@ COMPOSITES: dict[str, str] = {
         "%{SYSLOGTIMESTAMP:sys_ts} %{NOTSPACE:logsource} "
         "%{WORD:program}[%{INT:pid:int}]: %{GREEDYDATA:message}"
     ),
+    # nginx error_log default format:
+    #   2024/01/15 09:00:01 [error] 1234#0: *55 open() failed ...
+    "NGINXERROR": (
+        "%{DATESTAMP_SLASH:timestamp} [%{LOGLEVEL_LOWER:severity}] "
+        "%{INT:pid:int}#%{INT:tid:int}: %{GREEDYDATA:message}"
+    ),
 }
+PATTERNS["LOGLEVEL_LOWER"] = r"(?:debug|info|notice|warn|error|crit|alert|emerg)"
 
 # %{NAME:field}, %{NAME:field:type}, or unnamed %{NAME} (non-capturing)
 _TOKEN = re.compile(r"%\{(\w+)(?::(\w+))?(?::(\w+))?\}")
@@ -85,12 +107,20 @@ def expand_composites(pattern: str, max_depth: int = 5) -> str:
 _CASTS = {"int": "int", "long": "bigint", "double": "double", "ts": "timestamp"}
 
 
-def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
+def compile_grok(
+    pattern: str, anchored: bool = False
+) -> tuple[str, list[tuple[str, str | None]]]:
     """Grok pattern → (single regex with ordered groups, [(field, type)]).
 
     ``%{NAME:field[:type]}`` captures; unnamed ``%{NAME}`` matches
     without capturing; unnamed composite references
     (``%{COMBINEDAPACHELOG}`` etc.) are inlined first.
+
+    ``anchored=True`` wraps the whole regex in ``^…$`` so the pattern
+    must consume the ENTIRE line (grok's strict mode): a COMMONAPACHELOG
+    pattern then rejects a line with trailing junk instead of matching
+    its prefix.  Unanchored (default) reproduces find-first-substring
+    semantics, matching ``regexp_extract``'s native behavior.
     """
     pattern = expand_composites(pattern)
     fields: list[tuple[str, str | None]] = []
@@ -110,7 +140,10 @@ def compile_grok(pattern: str) -> tuple[str, list[tuple[str, str | None]]]:
             fields.append((field, typ))
         pos = m.end()
     out.append(re.escape(pattern[pos:]))
-    return "".join(out), fields
+    regex = "".join(out)
+    if anchored:
+        regex = "^" + regex + "$"
+    return regex, fields
 
 
 _SENTINEL = "\x01"
@@ -124,7 +157,10 @@ def _typed(c: Column, typ: str | None) -> Column:
 
 
 def grok_columns(
-    line_col: str | Column, pattern: str, one_pass: bool | None = None
+    line_col: str | Column,
+    pattern: str,
+    one_pass: bool | None = None,
+    anchored: bool = False,
 ) -> dict[str, Column]:
     """Per-field extraction columns (JVM-side, codegen-able).
 
@@ -144,7 +180,7 @@ def grok_columns(
         per-field extraction via a conditional, so the rewrite is exact
         on every input.
     """
-    regex, fields = compile_grok(pattern)
+    regex, fields = compile_grok(pattern, anchored=anchored)
     col = F.col(line_col) if isinstance(line_col, str) else line_col
     if one_pass is None:
         one_pass = False
@@ -155,12 +191,14 @@ def grok_columns(
         return out
     # [\s\S] (not dotall) so DATA/GREEDYDATA keep their no-newline
     # semantics while the wrapper still spans multi-line values; the lazy
-    # prefix reproduces regexp_extract's find-FIRST-match behavior.
-    anchored = r"^[\s\S]*?" + regex + r"[\s\S]*$"
+    # prefix reproduces regexp_extract's find-FIRST-match behavior.  An
+    # anchored regex already consumes the whole line, so it IS the
+    # replace pattern.
+    wrapper = regex if anchored else r"^[\s\S]*?" + regex + r"[\s\S]*$"
     replacement = _SENTINEL.join(f"${i}" for i in range(1, len(fields) + 1))
     clean = ~col.contains(_SENTINEL)
     packed = F.when(
-        col.rlike(regex) & clean, F.regexp_replace(col, anchored, replacement)
+        col.rlike(regex) & clean, F.regexp_replace(col, wrapper, replacement)
     )
     parts = F.split(packed, _SENTINEL, -1)
     for i, (field, typ) in enumerate(fields, start=1):
@@ -173,13 +211,17 @@ def grok_columns(
 
 
 def grok_parse(
-    df: DataFrame, line_col: str, pattern: str, keep_unmatched: bool = True
+    df: DataFrame,
+    line_col: str,
+    pattern: str,
+    keep_unmatched: bool = True,
+    anchored: bool = False,
 ) -> DataFrame:
     """Add one typed column per grok field; optionally drop non-matching
     lines (a non-match extracts empty strings / nulls for every field)."""
-    regex, fields = compile_grok(pattern)
+    regex, fields = compile_grok(pattern, anchored=anchored)
     out = df
-    for field, col in grok_columns(line_col, pattern).items():
+    for field, col in grok_columns(line_col, pattern, anchored=anchored).items():
         out = out.withColumn(field, col)
     if not keep_unmatched:
         out = out.where(F.col(line_col).rlike(regex))

@@ -220,6 +220,19 @@ def ann_ivf_topk(
     cents = df.where(F.col("vec_id") < n_centroids).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("c_emb")
     )
+    return _ivf_search(df, cents, query_vec_id, k, n_probe)
+
+
+def _ivf_search(
+    df: DataFrame,
+    cents: DataFrame,
+    query_vec_id: int,
+    k: int,
+    n_probe: int,
+) -> DataFrame:
+    """Shared IVF search core over any centroid table ``cents(cid, c_emb)``
+    (data-sampled deterministic centroids for the oracle-gated query;
+    learned KMeans centroids for :func:`ann_ivf_topk_learned`)."""
     # one row: all centroids, cid-ascending (fold order = tie-break order)
     cent_arr = cents.agg(
         F.sort_array(F.collect_list(F.struct("cid", "c_emb"))).alias("cents")
@@ -269,6 +282,51 @@ def ann_ivf_topk(
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
     )
+
+
+def ann_ivf_topk_learned(
+    df: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    max_iter: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN with LEARNED coarse centroids (pyspark.ml KMeans,
+    ``distanceMeasure='cosine'`` to match the max-cosine assignment).
+
+    Same plan shape as :func:`ann_ivf_topk` — the k learned centers come
+    back to the driver (k × dim floats, tiny) and are broadcast into the
+    identical row-local assignment + probe search — but bucket occupancy
+    follows the data distribution instead of the first-k sample, which
+    is what keeps per-list sizes balanced on clustered real corpora.
+    Training is one extra job over the corpus (cacheable / refreshable
+    offline at scale); the oracle-gated query keeps deterministic
+    centroids because KMeans init isn't replayable in the SQL oracle.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    train = df.select(
+        array_to_vector(F.col("embedding").cast("array<double>")).alias(
+            "features"
+        )
+    )
+    km = KMeans(
+        k=n_centroids,
+        maxIter=max_iter,
+        seed=seed,
+        distanceMeasure="cosine",
+    ).fit(train)
+    cents = (
+        spark.createDataFrame(
+            [(i, [float(v) for v in c]) for i, c in enumerate(km.clusterCenters())],
+            "cid int, c_emb array<double>",
+        )
+    )
+    return _ivf_search(df, cents, query_vec_id, k, n_probe)
 
 
 def embedding_near_dup_pairs(

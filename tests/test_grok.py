@@ -112,3 +112,67 @@ def test_unnamed_token_matches_without_capturing():
     assert [f for f, _ in fields] == ["action"]
     m = _re.search(regex, "10.0.0.1 -> allow")
     assert m and m.group(1) == "allow"
+
+
+def test_anchored_rejects_partial_matches(spark):
+    """anchored=True is grok's strict whole-line mode: a pattern that
+    would match a prefix/suffix substring must reject the line."""
+    from scones.grok import grok_parse
+
+    clean = '1.2.3.4 - frank [10/Oct/2000:13:55:36 -0700] "GET /x HTTP/1.0" 200 17'
+    dirty = clean + " TRAILING JUNK"
+    df = spark.createDataFrame([(clean,), (dirty,)], ["line"])
+    loose = grok_parse(df, "line", "%{COMMONAPACHELOG}", keep_unmatched=False)
+    strict = grok_parse(
+        df, "line", "%{COMMONAPACHELOG}", keep_unmatched=False, anchored=True
+    )
+    assert loose.count() == 2  # substring semantics: both match
+    rows = strict.collect()
+    assert len(rows) == 1 and rows[0].line == clean
+
+
+def test_anchored_one_pass_equals_per_field(spark):
+    """The one-pass regexp_replace rewrite must stay exact under
+    anchoring (the wrapper branch changes)."""
+    from scones.grok import grok_columns
+
+    lines = [
+        ('10.0.0.1 GET 200',),
+        ('10.0.0.1 GET 200 junk',),   # anchored: non-match → nulls/empties
+        ('no match at all',),
+    ]
+    df = spark.createDataFrame(lines, ["line"])
+    pat = "%{IP:ip} %{WORD:verb} %{INT:code:int}"
+    fast = grok_columns("line", pat, one_pass=True, anchored=True)
+    slow = grok_columns("line", pat, one_pass=False, anchored=True)
+    a = df.select(*[c.alias(f) for f, c in fast.items()]).collect()
+    b = df.select(*[c.alias(f) for f, c in slow.items()]).collect()
+    assert a == b
+
+
+def test_contributed_patterns_nginx_error(spark):
+    from scones.grok import grok_parse
+
+    line = "2024/01/15 09:00:01 [error] 1234#0: *55 open() failed (2: No such file)"
+    df = spark.createDataFrame([(line,)], ["line"])
+    row = grok_parse(df, "line", "%{NGINXERROR}", keep_unmatched=False).collect()[0]
+    assert row.severity == "error" and row.pid == 1234 and row.tid == 0
+    assert row.message.startswith("*55 open()")
+
+
+def test_contributed_patterns_uuid_email_uri(spark):
+    from scones.grok import grok_parse
+
+    line = (
+        "req 123e4567-e89b-12d3-a456-426614174000 from ops@example.com "
+        "fetched https://api.example.com/v1/items?id=7"
+    )
+    df = spark.createDataFrame([(line,)], ["line"])
+    row = grok_parse(
+        df,
+        "line",
+        "req %{UUID:rid} from %{EMAILADDRESS:user} fetched %{URI:uri}",
+        keep_unmatched=False,
+    ).collect()[0]
+    assert row.rid.startswith("123e4567") and row.user == "ops@example.com"
+    assert row.uri == "https://api.example.com/v1/items?id=7"

@@ -164,3 +164,23 @@ def test_ivf_recall_at_10_vs_bruteforce(spark):
         hits += len(got & truth)
         total += len(truth)
     assert hits / total >= 0.5, f"ivf recall@10 collapsed: {hits}/{total}"
+
+
+def test_ivf_learned_centroids_recall(spark):
+    """KMeans-centroid IVF (TODO item: learned centroids behind the same
+    search core). Full-probe must equal brute force regardless of where
+    the centroids came from; partial probe keeps a recall floor."""
+    from scones.similarity import ann_ivf_topk_learned, cosine_topk
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    truth = {r.vec_id for r in cosine_topk(df, 0, k=10).collect()}
+    full = {
+        r.vec_id
+        for r in ann_ivf_topk_learned(df, 0, k=10, n_centroids=8, n_probe=8).collect()
+    }
+    assert full == truth
+    got = {
+        r.vec_id
+        for r in ann_ivf_topk_learned(df, 0, k=10, n_centroids=8, n_probe=2).collect()
+    }
+    assert len(got & truth) / len(truth) >= 0.5
