@@ -384,6 +384,88 @@ def _grok_oracle_sql() -> str:
 _ORACLES["grok_parse_events"] = _grok_oracle_sql()
 
 
+@_q("grok_parse_anchored", None)  # SQL attached below (anchored regex)
+def grok_parse_anchored(spark, sf_dir):
+    """Strict whole-line grok (anchored=True): lines with trailing junk
+    (every 10th user) must be REJECTED, where substring-mode grok would
+    happily parse their prefix.  Oracle replays the ^…$ regex in DuckDB."""
+    from scones.grok import grok_parse
+
+    ev = _t(spark, sf_dir, "events").select(
+        F.concat(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss"),
+            F.lit(" INFO "),
+            "event_type",
+            F.lit(" user="),
+            F.col("user_id").cast("string"),
+            F.lit(" value="),
+            F.col("value").cast("string"),
+            F.when((F.col("user_id") % 10) == 0, F.lit(" #trailing")).otherwise(
+                F.lit("")
+            ),
+        ).alias("line")
+    )
+    parsed = grok_parse(ev, "line", _GROK_PATTERN, keep_unmatched=False, anchored=True)
+    return parsed.groupBy("etype").agg(
+        F.count("*").alias("n_lines"),
+        F.countDistinct("uid").alias("n_users"),
+    )
+
+
+def _grok_anchored_oracle_sql() -> str:
+    from scones.grok import compile_grok
+
+    regex, _ = compile_grok(_GROK_PATTERN, anchored=True)
+    return f"""
+    WITH lines AS (
+      SELECT strftime(ts, '%Y-%m-%d %H:%M:%S') || ' INFO ' || event_type
+             || ' user=' || CAST(user_id AS VARCHAR)
+             || ' value=' || CAST(value AS VARCHAR)
+             || CASE WHEN user_id % 10 = 0 THEN ' #trailing' ELSE '' END AS line
+      FROM events
+    ), parsed AS (
+      SELECT regexp_extract(line, '{regex}', 3) AS etype,
+             CAST(regexp_extract(line, '{regex}', 4) AS BIGINT) AS uid
+      FROM lines WHERE regexp_matches(line, '{regex}')
+    )
+    SELECT etype, COUNT(*) AS n_lines, COUNT(DISTINCT uid) AS n_users
+    FROM parsed GROUP BY etype
+    """
+
+
+_ORACLES["grok_parse_anchored"] = _grok_anchored_oracle_sql()
+
+
+@_q(
+    "top_terms",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_split_to_array(lower(text), '\\s+')) AS term
+      FROM documents
+    )
+    SELECT term, COUNT(*) AS n FROM toks WHERE term <> ''
+    GROUP BY term ORDER BY n DESC, term ASC LIMIT 50
+    """,
+)
+def top_terms(spark, sf_dir):
+    """Corpus-level vocabulary: top-50 whitespace terms by frequency —
+    the tokenizer-training / vocab-audit primitive of a text pipeline.
+    Scale shape: explode → partial+final HashAggregate (map-side combine
+    collapses each partition to its distinct terms before the shuffle,
+    so the exchange carries vocab-sized data, not token-count-sized) →
+    TakeOrderedAndProject; ties broken (n DESC, term ASC) so the top-k
+    is total-ordered in both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("term"))
+    return (
+        toks.where(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), F.col("term").asc())
+        .limit(50)
+    )
+
+
 @_q(
     "orders_rollup",
     """
