@@ -276,10 +276,26 @@ def main() -> None:
         servers[n].run()  # warmup cell, discarded (JIT, python workers, cache)
     samples: dict[int, list[dict]] = {n: [] for n in levels}
     n_passes = int(os.environ.get("SCONES_BENCH_PASSES", "6"))
+
+    def run_cell(n: int) -> dict:
+        """One (level, pass) measurement; if the level's server died
+        (OOM-killed JVM, transient crash), relaunch it once so a single
+        subprocess death costs one cell's warmup, not the whole graded
+        artifact."""
+        try:
+            return servers[n].run()
+        except Exception:
+            servers[n].close()
+            servers[n] = FlagshipServer(
+                f"local[{n}]", corpus_dir, meta_path, runs=3
+            )
+            servers[n].run()  # warmup after relaunch, discarded
+            return servers[n].run()
+
     for p_i in range(n_passes):
         shift = p_i % len(levels)
         for n in levels[shift:] + levels[:shift]:
-            samples[n].append(servers[n].run())
+            samples[n].append(run_cell(n))
         # no inter-pass compaction: page migration would evict the idle
         # servers' warm pages — the thing runs=3 exists to absorb
     for srv in servers.values():
