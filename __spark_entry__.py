@@ -467,6 +467,66 @@ def top_terms(spark, sf_dir):
 
 
 @_q(
+    "chunk_windows",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), d2 AS (
+      SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
+    ), s AS (
+      SELECT doc_id, toks, n, UNNEST(range(0, n, 12)) AS start FROM d2
+    )
+    SELECT doc_id,
+           start // 12 AS chunk_id,
+           len(list_slice(toks, start + 1, least(start + 16, n))) AS n_tokens,
+           array_to_string(list_slice(toks, start + 1, least(start + 16, n)), ' ')
+             AS chunk_text
+    FROM s
+    """,
+)
+def chunk_windows(spark, sf_dir):
+    """Context-packing chunker: ≤16-token windows every 12 tokens
+    (overlapping).  Row-local — zero exchanges (plan-locked)."""
+    from scones.textops import chunk_windows as cw
+
+    return cw(_t(spark, sf_dir, "documents"), window=16, stride=12)
+
+
+def _mixture_oracle_sql(rates: dict[str, int], default: int) -> str:
+    # u16 from the first 4 md5 hex nibbles of the doc_id string —
+    # identical to textops.md5_hash16 (same construction as the simhash
+    # oracle); % 1000 gives the per-mille gate.
+    nib = (
+        "(strpos('0123456789abcdef',"
+        " substr(md5(CAST(doc_id AS VARCHAR)), {p}, 1)) - 1)"
+    )
+    u16 = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4))
+    case = " ".join(
+        f"WHEN '{lang}' THEN {r}" for lang, r in sorted(rates.items())
+    )
+    return f"""
+    SELECT lang, COUNT(*) AS n_kept FROM documents
+    WHERE ({u16}) % 1000 < CASE lang {case} ELSE {default} END
+    GROUP BY lang
+    """
+
+
+_MIXTURE_RATES = {"en": 400, "zh": 700}
+
+
+@_q("sample_mixture", _mixture_oracle_sql(_MIXTURE_RATES, 900))
+def sample_mixture(spark, sf_dir):
+    """Deterministic stratified mixture sampling (downsample 'en' to
+    40%, 'zh' to 70%, keep 90% elsewhere) — hash-gated so the verdict
+    is stable under retries and replayable in the oracle."""
+    from scones.textops import sample_mixture as sm
+
+    kept = sm(_t(spark, sf_dir, "documents"), _MIXTURE_RATES, default_permille=900)
+    return kept.groupBy("lang").agg(F.count("*").alias("n_kept"))
+
+
+@_q(
     "orders_rollup",
     """
     SELECT o_orderstatus, o_orderpriority,

@@ -557,3 +557,67 @@ def simhash64(
     for i in range(bits):
         fp = fp + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
     return votes.select("doc_id", fp.alias("simhash"))
+
+
+def chunk_windows(
+    df: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Token-window chunking with overlap — the context-packing step of a
+    training-data pipeline (split each document into ≤``window``-token
+    chunks every ``stride`` tokens; ``window > stride`` ⇒ overlapping
+    windows, the standard LM-pretraining shape).
+
+    Scale shape: tokens never leave their row — split, ``sequence`` of
+    chunk starts, ``posexplode``, row-local ``slice``/``concat_ws``.
+    Zero exchanges, one scan; output size is the only cost (the
+    explode's fan-out is len/stride per doc).  Deterministic and fully
+    SQL-replayable (same space-split token contract as
+    :func:`tokens_col`).
+    """
+    toks = tokens_col(text_col)
+    starts = F.sequence(F.lit(0), F.size("toks") - 1, F.lit(stride))
+    return (
+        df.select(id_col, toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(id_col, "toks", F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.slice("toks", F.col("start") + 1, window).alias("chunk"),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.size("chunk").cast("bigint").alias("n_tokens"),
+            F.concat_ws(" ", "chunk").alias("chunk_text"),
+        )
+    )
+
+
+def sample_mixture(
+    df: DataFrame,
+    rates_permille: dict[str, int],
+    default_permille: int = 500,
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Deterministic stratified mixture sampling: keep each row with a
+    per-language probability (rates in ‰), decided by a content-stable
+    hash of the id — the data-mixture re-weighting step of a training
+    pipeline (e.g. downsample over-represented languages).
+
+    Hash-gated (md5 of the id), NOT ``rand()``: the same row gets the
+    same verdict on every run, every retry, and in the SQL oracle —
+    sampling composes with effectively-once semantics.  Row-local,
+    zero shuffles; at 100 TB it's a predicate pushed into the scan's
+    output, no different from any other filter.
+    """
+    u = md5_hash16(F.col(id_col).cast("string")) % 1000
+    rate: Column = F.lit(default_permille)
+    for lang, r in sorted(rates_permille.items()):
+        rate = F.when(F.col(lang_col) == lang, F.lit(r)).otherwise(rate)
+    return df.where(u < rate)

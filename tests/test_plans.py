@@ -161,6 +161,12 @@ def test_round2_ops_have_scale_safe_plans(spark):
     fs = _plan(qs["frame_sample"](spark, SF_DIR))
     assert "Exchange" not in fs
 
+    # chunk_windows: row-local split/sequence/posexplode/slice — zero
+    # exchanges, no Python crossing
+    cw = _plan(qs["chunk_windows"](spark, SF_DIR))
+    assert "Exchange" not in cw
+    assert "Python" not in cw
+
 
 def test_components_shuffles_ids_only(spark):
     """Both CC variants' iterated joins must carry 8-byte ids, never

@@ -1,0 +1,68 @@
+"""Semantics of the two round-3 training-pipeline operators:
+token-window chunking (context packing) and deterministic stratified
+mixture sampling."""
+
+from pyspark.sql import functions as F
+
+
+def test_chunk_windows_overlap_and_coverage(spark):
+    from scones.textops import chunk_windows
+
+    # 10 tokens, window=4, stride=3 → starts 0,3,6,9 → 4 chunks, last is
+    # a 1-token tail
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, ""), (3, "solo")],
+        ["doc_id", "text"],
+    )
+    rows = (
+        chunk_windows(df, window=4, stride=3)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 2 not in by_doc  # empty doc yields no chunks
+    assert [r.chunk_text for r in by_doc[3]] == ["solo"]
+    c1 = by_doc[1]
+    assert [r.chunk_id for r in c1] == [0, 1, 2, 3]
+    assert c1[0].chunk_text == "t0 t1 t2 t3"
+    assert c1[1].chunk_text == "t3 t4 t5 t6"  # 1-token overlap (4-3)
+    assert c1[3].chunk_text == "t9" and c1[3].n_tokens == 1
+    # every token of the doc appears in some chunk (stride ≤ window)
+    covered = {t for r in c1 for t in r.chunk_text.split(" ")}
+    assert covered == {f"t{i}" for i in range(10)}
+
+
+def test_chunk_windows_no_overlap_partition(spark):
+    """window == stride ⇒ exact partition: concatenating the chunks
+    reconstructs the token stream."""
+    from scones.textops import chunk_windows
+
+    text = " ".join(f"w{i}" for i in range(17))
+    df = spark.createDataFrame([(1, text)], ["doc_id", "text"])
+    rows = chunk_windows(df, window=5, stride=5).orderBy("chunk_id").collect()
+    assert " ".join(r.chunk_text for r in rows) == text
+    assert [r.n_tokens for r in rows] == [5, 5, 5, 2]
+
+
+def test_sample_mixture_deterministic_and_stratified(spark):
+    from scones.textops import sample_mixture
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    rates = {"en": 0, "zh": 1000}
+    kept = sample_mixture(docs, rates, default_permille=500)
+    a = {r.doc_id for r in kept.select("doc_id").collect()}
+    b = {r.doc_id for r in kept.select("doc_id").collect()}
+    assert a == b  # hash-gated: same verdict on re-execution
+    by_lang = {
+        r.lang: r.n
+        for r in kept.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert "en" not in by_lang  # rate 0 drops everything
+    zh_total = docs.where(F.col("lang") == "zh").count()
+    assert by_lang["zh"] == zh_total  # rate 1000 keeps everything
+    # default rate strata land near 50% (binomial, loose bounds)
+    for lang in ("de", "es", "fr"):
+        total = docs.where(F.col("lang") == lang).count()
+        assert 0.25 * total <= by_lang[lang] <= 0.75 * total
