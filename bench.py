@@ -83,6 +83,12 @@ BENCH_QUERIES = [
     # adversarial shingle collisions), but the headline workload needs a
     # recorded number (round-2 verdict item 6).
     "clean_corpus",
+    # round-3 additions: strict grok, vocab top-k, context-window
+    # chunking, stratified mixture sampling
+    "grok_parse_anchored",
+    "top_terms",
+    "chunk_windows",
+    "sample_mixture",
 ]
 
 
