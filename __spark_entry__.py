@@ -527,6 +527,107 @@ def sample_mixture(spark, sf_dir):
 
 
 @_q(
+    "repetition_scores",
+    """
+    WITH d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), d2 AS (
+      SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
+    ), tok AS (
+      SELECT doc_id, n, UNNEST(toks) AS tok FROM d2
+    ), tc AS (
+      SELECT doc_id, MAX(n) AS n, tok, COUNT(*) AS c
+      FROM tok GROUP BY doc_id, tok
+    ), tmax AS (
+      SELECT doc_id, CAST(MAX(n) AS BIGINT) AS n_tokens,
+             ROUND(MAX(c)::DOUBLE / MAX(n), 6) AS top_token_frac
+      FROM tc GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id, n, toks[i] || ' ' || toks[i+1] AS gram
+      FROM (SELECT doc_id, toks, n, UNNEST(range(1, n)) AS i FROM d2)
+    ), bc AS (
+      SELECT doc_id, MAX(n) AS n, gram, COUNT(*) AS c
+      FROM bg GROUP BY doc_id, gram
+    ), bmax AS (
+      SELECT doc_id, ROUND(MAX(c)::DOUBLE / (MAX(n) - 1), 6) AS top_bigram_frac
+      FROM bc GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_tokens, t.top_token_frac,
+           COALESCE(b.top_bigram_frac, 0.0) AS top_bigram_frac
+    FROM tmax t LEFT JOIN bmax b USING (doc_id)
+    """,
+)
+def repetition_scores(spark, sf_dir):
+    """Gopher-style repetition signals, folded entirely row-locally in
+    Spark (zero exchanges, plan-locked); the oracle replays via SQL
+    explode + GROUP BY — different shape, identical semantics."""
+    from scones.textops import repetition_scores as rs
+
+    return rs(_t(spark, sf_dir, "documents"))
+
+
+def _pii_oracle_sql() -> str:
+    from scones.textops import _pii_patterns
+
+    p = _pii_patterns()
+    return f"""
+    WITH lines AS (
+      SELECT event_type,
+             'contact user' || CAST(user_id AS VARCHAR)
+             || '@example.com from 10.' || CAST(user_id % 256 AS VARCHAR)
+             || '.0.1'
+             || CASE WHEN user_id % 3 = 0 THEN ' cc admin@example.org'
+                     ELSE '' END AS text
+      FROM events
+    ), scrubbed AS (
+      SELECT event_type,
+             len(regexp_extract_all(text, '{p["email"]}')) AS n_email,
+             len(regexp_extract_all(text, '{p["ip"]}')) AS n_ip,
+             regexp_replace(
+               regexp_replace(text, '{p["email"]}', '[EMAIL]', 'g'),
+               '{p["ip"]}', '[IP]', 'g') AS redacted
+      FROM lines
+    )
+    SELECT event_type, COUNT(*) AS n_rows,
+           CAST(SUM(n_email) AS BIGINT) AS total_emails,
+           CAST(SUM(n_ip) AS BIGINT) AS total_ips,
+           COUNT(DISTINCT redacted) AS n_distinct_redacted
+    FROM scrubbed GROUP BY event_type
+    """
+
+
+@_q("pii_scrub", _pii_oracle_sql())
+def pii_scrub(spark, sf_dir):
+    """PII audit + redaction over synthesized contact lines (the events
+    table carries no real PII, so the query constructs deterministic
+    emails/IPs the same way grok_parse_events builds log lines):
+    count occurrences, redact to typed placeholders, verify the
+    redaction collapses id-bearing lines per event_type."""
+    from scones.textops import pii_counts, pii_redact
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.concat(
+            F.lit("contact user"),
+            F.col("user_id").cast("string"),
+            F.lit("@example.com from 10."),
+            (F.col("user_id") % 256).cast("string"),
+            F.lit(".0.1"),
+            F.when((F.col("user_id") % 3) == 0, F.lit(" cc admin@example.org"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scrubbed = pii_redact(pii_counts(ev, "text"), "text")
+    return scrubbed.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_email").alias("total_emails"),
+        F.sum("n_ip").alias("total_ips"),
+        F.countDistinct("text_redacted").alias("n_distinct_redacted"),
+    )
+
+
+@_q(
     "orders_rollup",
     """
     SELECT o_orderstatus, o_orderpriority,

@@ -89,6 +89,8 @@ BENCH_QUERIES = [
     "top_terms",
     "chunk_windows",
     "sample_mixture",
+    "repetition_scores",
+    "pii_scrub",
 ]
 
 

@@ -621,3 +621,96 @@ def sample_mixture(
     for lang, r in sorted(rates_permille.items()):
         rate = F.when(F.col(lang_col) == lang, F.lit(r)).otherwise(rate)
     return df.where(u < rate)
+
+
+def _max_multiplicity(arr: Column) -> Column:
+    """Max element multiplicity of an array, computed ROW-LOCALLY as the
+    longest run in the sorted array (fold with a (prev, run, best)
+    struct accumulator) — no explode, no shuffle."""
+    return F.aggregate(
+        F.array_sort(arr),
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher/C4-style repetition quality signals per document:
+
+    * ``top_token_frac`` — count of the most frequent token / n_tokens;
+    * ``top_bigram_frac`` — count of the most frequent 2-gram /
+      (n_tokens - 1), 0.0 for docs with < 2 tokens.
+
+    High values flag boilerplate / degenerate repetition (the published
+    Gopher rules threshold these).  Scale shape: everything folds inside
+    the row — tokens, bigram construction (``transform`` over index
+    ``sequence``), and the max-multiplicity (longest run of the sorted
+    array).  ZERO exchanges, one scan; the oracle replays it in SQL via
+    explode + GROUP BY, a deliberately different shape with identical
+    semantics.
+    """
+    toks = tokens_col(text_col)
+    n = F.size("toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(F.col("toks"), i), F.element_at(F.col("toks"), i + 1)
+        ),
+    )
+    return (
+        df.select(id_col, toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            id_col,
+            n.cast("bigint").alias("n_tokens"),
+            F.round(_max_multiplicity(F.col("toks")) / n, 6).alias(
+                "top_token_frac"
+            ),
+            F.when(n < 2, F.lit(0.0))
+            .otherwise(F.round(_max_multiplicity(bigrams) / (n - 1), 6))
+            .alias("top_bigram_frac"),
+        )
+    )
+
+
+# PII detection/redaction reuses the grok pattern dictionary — one
+# source of truth for what an email/IP looks like (RE2-safe fragments,
+# replayable in the DuckDB oracle).
+def _pii_patterns() -> dict[str, str]:
+    from .grok import PATTERNS
+
+    return {"email": PATTERNS["EMAILADDRESS"], "ip": PATTERNS["IP"]}
+
+
+def pii_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-row PII occurrence counts (email, ipv4) — JVM ``regexp_count``,
+    codegen, zero Python.  The web-cleaning audit step: measure PII
+    density before deciding to drop vs redact."""
+    out = df
+    for name, pat in _pii_patterns().items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat))
+        )
+    return out
+
+
+def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace every email/ipv4 occurrence with a typed placeholder
+    (``[EMAIL]``, ``[IP]``) — the scrubbing step paired with
+    :func:`pii_counts`.  Chained JVM ``regexp_replace``; row-local."""
+    col = F.col(text_col)
+    for name, pat in _pii_patterns().items():
+        col = F.regexp_replace(col, pat, f"[{name.upper()}]")
+    return df.withColumn(f"{text_col}_redacted", col)

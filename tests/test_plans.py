@@ -167,6 +167,13 @@ def test_round2_ops_have_scale_safe_plans(spark):
     assert "Exchange" not in cw
     assert "Python" not in cw
 
+    # repetition_scores: row-local sorted-run folds — zero exchanges
+    # (the oracle's explode+GROUP BY shape would be two shuffles; the
+    # production plan must not be)
+    rp = _plan(qs["repetition_scores"](spark, SF_DIR))
+    assert "Exchange" not in rp
+    assert "Python" not in rp
+
 
 def test_components_shuffles_ids_only(spark):
     """Both CC variants' iterated joins must carry 8-byte ids, never

@@ -66,3 +66,41 @@ def test_sample_mixture_deterministic_and_stratified(spark):
     for lang in ("de", "es", "fr"):
         total = docs.where(F.col("lang") == lang).count()
         assert 0.25 * total <= by_lang[lang] <= 0.75 * total
+
+
+def test_repetition_scores_semantics(spark):
+    from scones.textops import repetition_scores
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),        # top tok 3/4; bigram 'a a' 2/3
+            (2, "x"),              # single token: frac 1.0, bigram 0.0
+            (3, "p q p q p"),      # top tok 3/5; 'p q' 2/4
+            (4, ""),               # dropped
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r.doc_id: r for r in repetition_scores(df).collect()}
+    assert 4 not in rows
+    assert rows[1].n_tokens == 4
+    assert rows[1].top_token_frac == 0.75
+    assert rows[1].top_bigram_frac == round(2 / 3, 6)
+    assert rows[2].top_token_frac == 1.0 and rows[2].top_bigram_frac == 0.0
+    assert rows[3].top_token_frac == 0.6 and rows[3].top_bigram_frac == 0.5
+
+
+def test_pii_counts_and_redact(spark):
+    from scones.textops import pii_counts, pii_redact
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a@b.com and c.d+e@f.org from 192.168.0.1"),
+            (2, "no pii here"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in pii_redact(pii_counts(df), "text").collect()}
+    assert out[1].n_email == 2 and out[1].n_ip == 1
+    assert out[1].text_redacted == "mail [EMAIL] and [EMAIL] from [IP]"
+    assert out[2].n_email == 0 and out[2].n_ip == 0
+    assert out[2].text_redacted == "no pii here"
