@@ -104,3 +104,48 @@ def test_pii_counts_and_redact(spark):
     assert out[1].text_redacted == "mail [EMAIL] and [EMAIL] from [IP]"
     assert out[2].n_email == 0 and out[2].n_ip == 0
     assert out[2].text_redacted == "no pii here"
+
+
+def test_chunk_and_repetition_vs_python_reference(spark):
+    """200 seeded random docs: both row-local operators must agree with
+    a direct per-doc Python reference (the same style of cross-check the
+    framing kernels get from scones.oracle)."""
+    import random
+
+    from scones.textops import chunk_windows, repetition_scores
+
+    rng = random.Random(7)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 40))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    W, S = 7, 5
+    got = {
+        (r.doc_id, r.chunk_id): (r.n_tokens, r.chunk_text)
+        for r in chunk_windows(df, window=W, stride=S).collect()
+    }
+    want = {}
+    for i, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        for ci, s in enumerate(range(0, len(toks), S)):
+            chunk = toks[s : s + W]
+            want[(i, ci)] = (len(chunk), " ".join(chunk))
+    assert got == want
+
+    rep = {r.doc_id: r for r in repetition_scores(df).collect()}
+    for i, text in docs:
+        toks = [t for t in text.split(" ") if t]
+        if not toks:
+            assert i not in rep
+            continue
+        top_tok = max(toks.count(t) for t in set(toks)) / len(toks)
+        grams = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        top_bg = (
+            max(grams.count(g) for g in set(grams)) / len(grams) if grams else 0.0
+        )
+        assert rep[i].n_tokens == len(toks)
+        assert rep[i].top_token_frac == round(top_tok, 6)
+        assert rep[i].top_bigram_frac == round(top_bg, 6)
