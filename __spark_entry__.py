@@ -628,6 +628,37 @@ def pii_scrub(spark, sf_dir):
 
 
 @_q(
+    "decontaminate",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + 4), ' ') AS shingle
+      FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) - 3)) AS i
+            FROM t WHERE len(toks) >= 5)
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id < 5
+    ), hits AS (
+      SELECT DISTINCT s.doc_id FROM sh s JOIN bench b USING (shingle)
+    )
+    SELECT d.doc_id, (h.doc_id IS NOT NULL) AS is_contaminated
+    FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate(spark, sf_dir):
+    """Benchmark decontamination (5-gram overlap vs an eval set — here
+    the first five documents stand in for the benchmark corpus): the
+    eval shingle set broadcasts, the corpus probe is map-side."""
+    from scones.textops import decontaminate as dc
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 5).select("doc_id", "text")
+    return dc(docs, bench, k=5).select("doc_id", "is_contaminated")
+
+
+@_q(
     "orders_rollup",
     """
     SELECT o_orderstatus, o_orderpriority,

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "sample_mixture",
     "repetition_scores",
     "pii_scrub",
+    "decontaminate",
 ]
 
 

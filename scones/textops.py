@@ -714,3 +714,29 @@ def pii_redact(df: DataFrame, text_col: str = "text") -> DataFrame:
     for name, pat in _pii_patterns().items():
         col = F.regexp_replace(col, pat, f"[{name.upper()}]")
     return df.withColumn(f"{text_col}_redacted", col)
+
+
+def decontaminate(
+    df: DataFrame, benchmark: DataFrame, k: int = 5, id_col: str = "doc_id"
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    k-word shingle with an evaluation/benchmark corpus (the published
+    GPT-3 / The Pile cleanup step — exact n-gram overlap).
+
+    Scale shape: the benchmark side is tiny relative to the training
+    corpus, so its DISTINCT shingle set is BROADCAST; the corpus's
+    exploded shingles stream past it map-side (no corpus shuffle for the
+    probe), surviving hit ids are distinct-ed (8-byte id shuffle only)
+    and left-joined back.  ``benchmark`` needs (doc_id, text) columns.
+    """
+    corpus_sh = shingles(df, k=k)
+    bench_sh = shingles(benchmark, k=k).select("shingle").distinct()
+    hits = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle")
+        .select(id_col)
+        .distinct()
+        .withColumn("is_contaminated", F.lit(True))
+    )
+    return df.join(hits, id_col, "left").withColumn(
+        "is_contaminated", F.coalesce("is_contaminated", F.lit(False))
+    )

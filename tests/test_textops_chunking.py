@@ -149,3 +149,38 @@ def test_chunk_and_repetition_vs_python_reference(spark):
         assert rep[i].n_tokens == len(toks)
         assert rep[i].top_token_frac == round(top_tok, 6)
         assert rep[i].top_bigram_frac == round(top_bg, 6)
+
+
+def test_decontaminate_flags_exact_overlap(spark):
+    from scones.textops import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "quick brown fox jumps over nothing today at all"),  # shares 5-gram
+            (3, "completely different words with no overlap here"),
+            (4, "short"),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame(
+        [(100, "xx the quick brown fox jumps yy")], ["doc_id", "text"]
+    )
+    got = {
+        r.doc_id: r.is_contaminated
+        for r in decontaminate(docs, bench, k=5).collect()
+    }
+    # doc 1 shares 'the quick brown fox jumps'; doc 2 shares
+    # 'quick brown fox jumps over'? benchmark has 'quick brown fox jumps yy'
+    # — only 5-grams of the bench text count: {'xx the quick brown fox',
+    # 'the quick brown fox jumps', 'quick brown fox jumps yy'}
+    assert got == {1: True, 2: False, 3: False, 4: False}
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["decontaminate"](spark, "/root/testdata/sf0.01")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
