@@ -211,9 +211,35 @@ def run_warc_snapshot(
     protocol (shards are immutable → file-granularity admission, like
     the parquet path).
     """
-    import time as _time
-
     from .warc import read_warc
+
+    return _run_docs_snapshot(spark, cfg, read_warc, fail_before_commit)
+
+
+def run_jsonl_snapshot(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    fail_before_commit: bool = False,
+) -> dict:
+    """JSONL-shard flavor (.jsonl / .jsonl.gz — the other common web-
+    corpus distribution format): same lineage/commit protocol; parsing
+    is fully JVM-side (see scones/jsonl.py)."""
+    from .jsonl import read_jsonl
+
+    return _run_docs_snapshot(spark, cfg, read_jsonl, fail_before_commit)
+
+
+def _run_docs_snapshot(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    read_fn,
+    fail_before_commit: bool = False,
+) -> dict:
+    """Shared shard-source snapshot core: ``read_fn(spark, files)`` must
+    yield (url, warc_ts, html binary, lang, src_file, ...) rows; the
+    rest (extract → enrich → route → write → audit → lineage commit) is
+    identical across container formats."""
+    import time as _time
 
     t_start = _time.perf_counter()
     store = LineageStore(cfg.checkpoint_dir)
@@ -222,7 +248,7 @@ def run_warc_snapshot(
         return {"snapshot_id": None, "files": [], "rows": 0}
     snapshot_id = store.next_snapshot_id()
 
-    docs = read_warc(spark, files)
+    docs = read_fn(spark, files)
     df = extract_documents(docs, max_length=cfg.max_length)
     if cfg.host_meta_path:
         df = enrich_broadcast(df, spark.read.parquet(cfg.host_meta_path))
@@ -284,11 +310,12 @@ def main() -> None:  # pragma: no cover — spark-submit entry point
     p.add_argument("--config", required=True)
     p.add_argument(
         "--mode",
-        choices=["documents", "tail", "warc"],
+        choices=["documents", "tail", "warc", "jsonl"],
         default="documents",
         help="documents: parquet corpus snapshots; tail: raw log files "
         "with byte-offset resume (the reference's native mode); warc: "
-        "Common-Crawl-style WARC shards (.warc/.warc.gz)",
+        "Common-Crawl-style WARC shards (.warc/.warc.gz); jsonl: "
+        "newline-delimited JSON shards (.jsonl/.jsonl.gz)",
     )
     p.add_argument(
         "--daemon",
@@ -330,6 +357,8 @@ def main() -> None:  # pragma: no cover — spark-submit entry point
     spark = get_spark(app_name="scones-pipeline")
     if a.mode == "warc":
         run_fn = run_warc_snapshot
+    elif a.mode == "jsonl":
+        run_fn = run_jsonl_snapshot
     elif a.mode == "tail":
         from .tailsource import run_tail_snapshot
 
