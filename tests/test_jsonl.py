@@ -100,3 +100,38 @@ def test_read_jsonl_plan_is_jvm_only(spark, tmp_path):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert "Exchange" not in plan
+
+
+def test_export_jsonl_roundtrip(spark, tmp_path):
+    """snapshot parquet → export_jsonl → read_jsonl re-ingest: url/ts/
+    lang/payload bytes all survive exactly (the export contract IS the
+    ingestion contract)."""
+    from scones.config import PipelineConfig
+    from scones.export import export_jsonl
+    from scones.pipeline import run_jsonl_snapshot
+
+    recs = _recs(0, 20)
+    shards = tmp_path / "in"
+    write_jsonl(str(shards / "s0.jsonl"), recs)
+    cfg = PipelineConfig(
+        input_glob=str(shards / "*.jsonl"),
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_sinks=3,
+    )
+    s = run_jsonl_snapshot(spark, cfg)
+    snap_dir = str(tmp_path / "out" / "snapshot_id=1")
+    res = export_jsonl(spark, snap_dir, str(tmp_path / "export"))
+    assert res["rows"] == s["rows"] == 20
+
+    original = {
+        r.url: (bytes(r.extracted), r.warc_ts, r.lang)
+        for r in spark.read.parquet(snap_dir).collect()
+    }
+    back = {
+        r.url: (bytes(r.html), r.warc_ts, r.lang)
+        for r in read_jsonl(
+            spark, str(tmp_path / "export" / "sink_id=*" / "*.json.gz")
+        ).collect()
+    }
+    assert back == original
