@@ -40,6 +40,31 @@ def stream_source(spark: SparkSession, input_dir: str, max_files: int = 16) -> D
     )
 
 
+def stream_source_jsonl(
+    spark: SparkSession, input_dir: str, max_files: int = 16
+) -> DataFrame:
+    """JSONL flavor of :func:`stream_source` (.jsonl/.jsonl.gz shards
+    landing in a directory): same record contract as the batch path
+    (scones/jsonl.py), same downstream plan — the engine's seen-files
+    log provides the admission state the batch path keeps in lineage."""
+    from .jsonl import JSONL_SCHEMA
+
+    raw = (
+        spark.readStream.schema(JSONL_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .json(input_dir)
+    )
+    return raw.where(F.col("url").isNotNull()).select(
+        "url",
+        F.to_timestamp("ts").alias("warc_ts"),
+        F.coalesce(
+            F.unbase64("html_b64"), F.col("html").cast("binary")
+        ).alias("html"),
+        F.lit(None).cast("string").alias("text"),
+        "lang",
+    )
+
+
 def build_stream_plan(
     spark: SparkSession, cfg: PipelineConfig, stream: DataFrame
 ) -> DataFrame:
@@ -53,15 +78,22 @@ def build_stream_plan(
 
 
 def run_stream_available_now(
-    spark: SparkSession, cfg: PipelineConfig, input_dir: str
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    input_dir: str,
+    source: DataFrame | None = None,
 ) -> None:
     """Drain all currently-available files into the routed sinks, then stop.
 
     Exactly-once delivery to the parquet sinks comes from the streaming
     checkpoint + the file sink's transaction log (_spark_metadata) — the
     engine-managed analogue of our batch write-audit-publish protocol.
+    ``source`` overrides the default parquet file stream (e.g.
+    :func:`stream_source_jsonl`).
     """
-    routed = build_stream_plan(spark, cfg, stream_source(spark, input_dir))
+    if source is None:
+        source = stream_source(spark, input_dir)
+    routed = build_stream_plan(spark, cfg, source)
     q = (
         routed.drop("html", "extracted_str")
         .writeStream.format("parquet")
