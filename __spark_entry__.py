@@ -658,6 +658,36 @@ def decontaminate(spark, sf_dir):
     return dc(docs, bench, k=5).select("doc_id", "is_contaminated")
 
 
+def _shard_oracle_sql(n_shards: int, seed: int) -> str:
+    nib = (
+        "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    )
+    u16 = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4))
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id,
+             md5('{seed}' || '|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), sharded AS (
+      SELECT doc_id, h, CAST(({u16}) % {n_shards} AS INT) AS shard
+      FROM hashed
+    )
+    SELECT doc_id, shard,
+           ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+    FROM sharded
+    """
+
+
+@_q("shard_corpus", _shard_oracle_sql(8, 7))
+def shard_corpus(spark, sf_dir):
+    """Deterministic pre-training shuffle+shard: md5-hash order within
+    hash-assigned shards — reproducible on every run/retry (no
+    ``rand()``); one exchange, per-shard local sort."""
+    from scones.textops import shard_corpus as sc
+
+    return sc(_t(spark, sf_dir, "documents"), n_shards=8, seed=7)
+
+
 @_q(
     "orders_rollup",
     """

@@ -91,6 +91,7 @@ BENCH_QUERIES = [
     "sample_mixture",
     "repetition_scores",
     "pii_scrub",
+    "shard_corpus",
     # decontaminate inherits the corpus artifact (32-word vocab → the
     # 5 bench docs' shingles collide with most of the corpus, so the
     # "contaminated" semi-join matches nearly everything — ~21 s at

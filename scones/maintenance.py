@@ -1,0 +1,85 @@
+"""Output maintenance: compact a committed snapshot's small files.
+
+At production scale a snapshot written by many tasks leaves many small
+parquet parts per sink (especially with ``spread_partitions`` defusing
+skew); readers then pay per-file open/footer costs.  Compaction
+rewrites one snapshot directory into ~``target_bytes`` files per sink
+and swaps it in place.  The snapshot ID stays the commit unit — lineage
+rows reference the snapshot, not its part files, so the audit trail is
+untouched (the same contract that lets Iceberg's rewrite-data-files
+action run under readers; on an object store the swap would be a
+metadata commit instead of two renames).
+
+Safety: the rewrite lands in a sibling ``.compacting`` directory, its
+row count is verified against the source, and only then is the swap
+performed.  A crash before the swap leaves the original untouched; the
+stale ``.compacting``/``.old`` dirs are cleaned on the next call.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import SparkSession
+
+
+def _dir_stats(snap_dir: str) -> tuple[int, int]:
+    """(total parquet bytes, parquet file count) under a snapshot dir."""
+    total = count = 0
+    for root, _, fnames in os.walk(snap_dir):
+        for f in fnames:
+            if f.endswith(".parquet"):
+                count += 1
+                total += os.path.getsize(os.path.join(root, f))
+    return total, count
+
+
+def compact_snapshot(
+    spark: SparkSession,
+    output_dir: str,
+    snapshot_id: int,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Rewrite ``snapshot_id=N`` into ≈``target_bytes`` files per sink.
+
+    Returns {"files_before", "files_after", "rows", "bytes"}.
+    """
+    snap = os.path.join(output_dir, f"snapshot_id={snapshot_id}")
+    tmp = snap + ".compacting"
+    old = snap + ".old"
+    for stale in (tmp, old):  # crash debris from a prior attempt
+        shutil.rmtree(stale, ignore_errors=True)
+
+    total, files_before = _dir_stats(snap)
+    df = spark.read.parquet(snap)
+    n_sinks = df.select("sink_id").distinct().count()
+    # one task per output file; at least one slot per sink so partitionBy
+    # never fans a task across sinks
+    n_out = max(n_sinks, math.ceil(total / max(target_bytes, 1)))
+    rows_before = df.count()
+
+    (
+        df.repartition(n_out, "sink_id")
+        .write.mode("overwrite")
+        .partitionBy("sink_id")
+        .parquet(tmp)
+    )
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compaction row mismatch: {rows_before} -> {rows_after}"
+        )
+    os.rename(snap, old)
+    os.rename(tmp, snap)
+    shutil.rmtree(old, ignore_errors=True)
+    _, files_after = _dir_stats(snap)
+    return {
+        "snapshot_id": snapshot_id,
+        "files_before": files_before,
+        "files_after": files_after,
+        "rows": rows_after,
+        "bytes": total,
+    }

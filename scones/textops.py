@@ -740,3 +740,36 @@ def decontaminate(
     return df.join(hits, id_col, "left").withColumn(
         "is_contaminated", F.coalesce("is_contaminated", F.lit(False))
     )
+
+
+def shard_corpus(
+    df: DataFrame, n_shards: int = 8, seed: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic corpus shuffle + shard — the pre-training step that
+    randomizes document order and splits the corpus into n training
+    shards.  ``hash = md5(seed || id)`` gives (a) the shard assignment
+    (mod) and (b) a pseudo-random but fully reproducible within-shard
+    order (``pos`` = rank of hash in shard): the same corpus + seed
+    yields byte-identical shards on every run/retry, unlike
+    ``orderBy(rand())``.
+
+    Scale shape: hashing is row-local; the ONE exchange partitions by
+    shard and the within-shard sort is per-partition (window over the
+    shard key — no global sort).  At 100 TB this is exactly the
+    repartition→local-sort shape ``repartitionByRange`` + write would
+    execute per shard.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string")))
+    # first 4 hex nibbles → 16-bit int (the md5_hash16 construction,
+    # replayable nibble-by-nibble in the SQL oracle)
+    shard = (
+        F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % n_shards
+    ).cast("int")
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    return (
+        df.select(id_col, h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w).cast("bigint"))
+        .select(id_col, "shard", "pos")
+    )

@@ -1,0 +1,54 @@
+"""Snapshot compaction: fewer files, identical row set, crash-safe."""
+
+import os
+
+from scones.config import PipelineConfig
+from scones.corpus import write_corpus, write_host_meta
+from scones.maintenance import compact_snapshot
+from scones.pipeline import run_snapshot
+
+
+def _snapshot(spark, tmp_path, spread=4):
+    write_corpus(str(tmp_path / "in"), n_docs=120, n_files=4, seed=31)
+    meta = str(tmp_path / "host_meta.parquet")
+    write_host_meta(meta)
+    cfg = PipelineConfig(
+        input_glob=str(tmp_path / "in" / "*.parquet"),
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        host_meta_path=meta,
+        n_sinks=3,
+        spread_partitions=spread,  # deliberately many small files
+    )
+    s = run_snapshot(spark, cfg)
+    return cfg, s
+
+
+def test_compact_reduces_files_preserves_rows(spark, tmp_path):
+    cfg, s = _snapshot(spark, tmp_path)
+    snap = os.path.join(cfg.output_dir, "snapshot_id=1")
+    before = {
+        r.url: (bytes(r.extracted), r.sink_id)
+        for r in spark.read.parquet(snap).collect()
+    }
+    res = compact_snapshot(spark, cfg.output_dir, 1)
+    assert res["files_after"] < res["files_before"]
+    assert res["files_after"] <= 3  # one file per sink at this size
+    after = {
+        r.url: (bytes(r.extracted), r.sink_id)
+        for r in spark.read.parquet(snap).collect()
+    }
+    assert after == before  # byte-identical routed row set
+    assert res["rows"] == s["rows"] == len(after)
+
+
+def test_compact_cleans_stale_attempt_dirs(spark, tmp_path):
+    cfg, _ = _snapshot(spark, tmp_path, spread=2)
+    snap = os.path.join(cfg.output_dir, "snapshot_id=1")
+    # simulate crash debris from a prior interrupted compaction
+    os.makedirs(snap + ".compacting/junk")
+    os.makedirs(snap + ".old/junk")
+    res = compact_snapshot(spark, cfg.output_dir, 1)
+    assert not os.path.exists(snap + ".compacting")
+    assert not os.path.exists(snap + ".old")
+    assert res["rows"] == 120
