@@ -83,3 +83,25 @@ def compact_snapshot(
         "rows": rows_after,
         "bytes": total,
     }
+
+
+def main() -> None:  # pragma: no cover — CLI entry point
+    import argparse
+
+    from .session import get_spark
+
+    p = argparse.ArgumentParser(description="compact a committed snapshot")
+    p.add_argument("--output-dir", required=True)
+    p.add_argument("--snapshot-id", type=int, required=True)
+    p.add_argument("--target-mb", type=int, default=128)
+    a = p.parse_args()
+    spark = get_spark(app_name="scones-compact")
+    print(
+        compact_snapshot(
+            spark, a.output_dir, a.snapshot_id, a.target_mb << 20
+        )
+    )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
