@@ -755,9 +755,13 @@ def shard_corpus(
 
     Scale shape: hashing is row-local; the ONE exchange partitions by
     shard and the within-shard sort is per-partition (window over the
-    shard key — no global sort).  At 100 TB this is exactly the
-    repartition→local-sort shape ``repartitionByRange`` + write would
-    execute per shard.
+    shard key — no global sort).  Each shard lands on one reducer, so
+    ``n_shards`` must be sized to make shards file-sized units: at
+    production scale n = total_bytes / shard_bytes (10^4-10^5 shards of
+    ~1 GB for 100 TB), which bounds per-reducer data by construction —
+    the 8 here is the sf-scale stand-in.  This is exactly the
+    repartition→local-sort→write-per-shard shape of a training-shard
+    materialization job.
     """
     from pyspark.sql import Window
 
