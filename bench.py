@@ -179,17 +179,45 @@ class FlagshipServer:
         )
         self._read_json()  # ready line — JVM up, heap pre-touched
 
+    # Generous per-cell ceiling: slowest legitimate cell is a local[2]
+    # relaunch on a decayed host (JVM pre-touch ~2 min + 3 warmup-ish
+    # runs ~3 min).  Round-3 incident: a local[2] JVM hung mid-job with
+    # ZERO cpu (py4j call never answered), deadlocking the whole bench
+    # for 40+ min — a hung server must be treated like a dead one.
+    READ_TIMEOUT_SEC = 900
+
     def _read_json(self) -> dict:
-        while True:
-            line = self.proc.stdout.readline()
-            if not line:
-                raise RuntimeError(f"flagship server {self.master} died")
-            line = line.strip()
-            if line.startswith("{"):
-                try:
-                    return json.loads(line)
-                except ValueError:
-                    continue
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue()
+
+        def rd() -> None:
+            try:
+                while True:
+                    line = self.proc.stdout.readline()
+                    if not line:
+                        q.put(None)
+                        return
+                    line = line.strip()
+                    if line.startswith("{"):
+                        try:
+                            q.put(json.loads(line))
+                            return
+                        except ValueError:
+                            continue
+            except Exception:
+                q.put(None)
+
+        threading.Thread(target=rd, daemon=True).start()
+        try:
+            result = q.get(timeout=self.READ_TIMEOUT_SEC)
+        except queue.Empty:
+            result = None
+        if result is None:
+            self.proc.kill()  # hung or dead either way: reap the JVM
+            raise RuntimeError(f"flagship server {self.master} died or hung")
+        return result
 
     def run(self) -> dict:
         self.proc.stdin.write("run\n")
