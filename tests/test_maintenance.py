@@ -52,3 +52,28 @@ def test_compact_cleans_stale_attempt_dirs(spark, tmp_path):
     assert not os.path.exists(snap + ".compacting")
     assert not os.path.exists(snap + ".old")
     assert res["rows"] == 120
+
+
+def test_flagship_server_read_timeout_kills_hung_proc():
+    """bench harness: a server that produces no output within the read
+    timeout is killed and reported dead (round-3 incident: a hung JVM
+    deadlocked the whole bench)."""
+    import subprocess
+
+    import pytest
+
+    import bench
+
+    srv = object.__new__(bench.FlagshipServer)
+    srv.master = "local[1]"
+    srv.proc = subprocess.Popen(
+        ["sleep", "300"],
+        stdin=subprocess.PIPE,
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    srv.READ_TIMEOUT_SEC = 1
+    with pytest.raises(RuntimeError, match="died or hung"):
+        srv._read_json()
+    srv.proc.wait(timeout=10)
+    assert srv.proc.poll() is not None
