@@ -1473,6 +1473,34 @@ def ann_ivf_topk(spark, sf_dir):
     )
 
 
+# Learned-centroid IVF at FULL probe (n_probe = n_centroids): every
+# inverted list is searched, so the result must equal brute-force cosine
+# top-k REGARDLESS of what KMeans learned — which makes the existing
+# brute-force SQL the exact oracle even though KMeans itself isn't
+# SQL-replayable (round-3 verdict item 4: the one op with no
+# CORRECTNESS row; recall at partial probe stays pinned in
+# tests/test_similarity_extra.py).
+@_q(
+    "ann_ivf_learned_fullprobe",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label, ROUND(list_dot_product(embedding::DOUBLE[], qe) /
+        (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+         sqrt(list_dot_product(qe, qe))), 6) AS cos_sim
+    FROM embeddings, q WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id ASC LIMIT 10
+    """,
+)
+def ann_ivf_learned_fullprobe(spark, sf_dir):
+    return similarity.ann_ivf_topk_learned(
+        _t(spark, sf_dir, "embeddings"),
+        query_vec_id=0,
+        k=10,
+        n_centroids=8,
+        n_probe=8,
+    )
+
+
 def _near_dup_oracle_sql(
     bits_per_band: int = 4, n_bands: int = 4, threshold: float = 0.3
 ) -> str:
@@ -1526,11 +1554,22 @@ def embedding_near_dup(spark, sf_dir):
 def _embedding_near_dup_oracle() -> str:
     """Oracle for embedding_near_dup, parameter-locked to the query: r/b
     are derived from the same footer count + near_dup_lsh_params call the
-    query makes, at the sf the driver compares at (sf0.01 by contract)."""
+    query makes, at the sf the driver compares at (sf0.01 by contract,
+    overridable via SPARK_GRAFT_ORACLE_SF_DIR for other sf gates).
+
+    The footer read is guarded (round-3 advice): oracle_sql() must stay
+    callable on a host without the testdata tree, so a missing/unreadable
+    path falls back to the sf0.01 contract corpus size (4000 embeddings,
+    TESTDATA.md) instead of raising — the parameters that fallback yields
+    are exactly what the gate compares against.
+    """
     import os as _os
 
     sf_dir = _os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    n = _parquet_rows(f"{sf_dir}/embeddings.parquet")
+    try:
+        n = _parquet_rows(f"{sf_dir}/embeddings.parquet") or 4000
+    except (OSError, ValueError):
+        n = 4000  # sf0.01 embeddings row count (the correctness-gate sf)
     r, b = similarity.near_dup_lsh_params(n, target_bucket=64)
     return _near_dup_oracle_sql(r, b, 0.3)
 

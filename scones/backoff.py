@@ -55,6 +55,43 @@ class ExponentialBackoff:
         self._current = 0.0
 
 
+class SnapshotTimeout(RuntimeError):
+    """A snapshot attempt exceeded the daemon's wall-time ceiling."""
+
+
+def _attempt_with_timeout(run_fn, spark, cfg, timeout_sec: float) -> dict:
+    """Run one snapshot attempt on a worker thread, bounded by a wall
+    ceiling.  On breach the worker is ABANDONED (a py4j call against a
+    hung JVM never returns — round-3 incident — so joining it would
+    re-create the hang in the supervisor) and :class:`SnapshotTimeout`
+    is raised for the caller to tear the session down.
+
+    If the abandoned attempt later wakes up it either dies on the
+    stopped session or commits the SAME snapshot_id the retry commits —
+    both snapshot output and the lineage publish are idempotent
+    same-content overwrites, so effectively-once holds either way.
+    """
+    result: list = []
+    error: list = []
+
+    def work() -> None:
+        try:
+            result.append(run_fn(spark, cfg))
+        except BaseException as exc:  # ferried to the supervisor thread
+            error.append(exc)
+
+    t = threading.Thread(target=work, daemon=True, name="scones-snapshot")
+    t.start()
+    t.join(timeout_sec)
+    if t.is_alive():
+        raise SnapshotTimeout(
+            f"snapshot attempt exceeded {timeout_sec}s wall ceiling"
+        )
+    if error:
+        raise error[0]
+    return result[0]
+
+
 def run_daemon(
     spark,
     cfg,
@@ -68,6 +105,8 @@ def run_daemon(
     sleep_fn: Callable[[float], None] = time.sleep,
     stop_event: threading.Event | None = None,
     on_event: Callable[[dict], None] | None = None,
+    snapshot_timeout_sec: float | None = None,
+    session_factory: Callable | None = None,
 ) -> list[dict]:
     """Supervise snapshot runs until stopped (the reference's daemon loop).
 
@@ -89,11 +128,26 @@ def run_daemon(
     ``max_snapshots`` / ``max_iterations`` bound the loop for tests and
     one-shot-ish invocations; both default to unbounded like the
     reference.  Returns the summaries of committed snapshots.
+
+    ``snapshot_timeout_sec`` arms the hung-JVM watchdog (round-3
+    incident: a local Spark JVM hung with zero CPU and the py4j call
+    never answered, which would stall this loop forever — precisely the
+    failure the reference's retry loop exists to survive,
+    supervisor.go:173-209).  An attempt that exceeds the ceiling is
+    abandoned, the SparkSession is torn down and relaunched via
+    ``session_factory(old_session)`` (default
+    :func:`scones.session.rebuild_session` — bounded stop, gateway
+    shutdown, JVM kill, fresh launch), and the snapshot retries under
+    the normal failure backoff.  Effectively-once tolerates the re-run:
+    the retry replans the same uncommitted inputs into the same
+    snapshot id and overwrites idempotently.
     """
     if run_fn is None:
         from .pipeline import run_snapshot
 
         run_fn = run_snapshot
+    if session_factory is None:
+        from .session import rebuild_session as session_factory
 
     retry = ExponentialBackoff(retry_min_sec, retry_max_sec)
     poll = ExponentialBackoff(poll_min_sec, poll_max_sec)
@@ -106,7 +160,28 @@ def run_daemon(
             break
         iterations += 1
         try:
-            summary = run_fn(spark, cfg)
+            if snapshot_timeout_sec is not None:
+                summary = _attempt_with_timeout(
+                    run_fn, spark, cfg, snapshot_timeout_sec
+                )
+            else:
+                summary = run_fn(spark, cfg)
+        except SnapshotTimeout as exc:
+            # hung session: kill + relaunch (the bench harness's 900 s
+            # FlagshipServer treatment, applied to the production loop),
+            # then retry the snapshot under the usual backoff
+            spark = session_factory(spark)
+            delay = retry.next()
+            if on_event is not None:
+                on_event(
+                    {
+                        "event": "watchdog_restart",
+                        "delay_sec": delay,
+                        "error": repr(exc),
+                    }
+                )
+            sleep_fn(delay)
+            continue
         except Exception as exc:  # retry forever, like the reference
             delay = retry.next()
             if on_event is not None:

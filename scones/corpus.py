@@ -154,6 +154,121 @@ def write_corpus_sharded(
         return pool.map(_write_shard, jobs)
 
 
+_SYLLABLES = (
+    "ba be bi bo bu ca ce ci co cu da de di do du fa fe fi fo fu "
+    "ga ge gi go gu ha he hi ho hu ja jo ka ke ki ko ku la le li lo lu "
+    "ma me mi mo mu na ne ni no nu pa pe pi po pu ra re ri ro ru "
+    "sa se si so su ta te ti to tu va ve vi vo vu wa wi wo ya yo za zo"
+).split()
+
+
+def zipf_vocabulary(n_terms: int = 50_000) -> list[str]:
+    """Deterministic pseudo-word vocabulary: term i is its index written
+    in syllables (library-free, seedless, collision-free)."""
+    words = []
+    n_syl = len(_SYLLABLES)
+    for i in range(n_terms):
+        w, x = [], i
+        while True:
+            w.append(_SYLLABLES[x % n_syl])
+            x //= n_syl
+            if x == 0:
+                break
+        words.append("".join(reversed(w)))
+    return words
+
+
+def zipf_document_rows(
+    n_docs: int = 5000,
+    n_terms: int = 50_000,
+    seed: int = 42,
+    dup_fraction: float = 0.04,
+    zipf_s: float = 1.07,
+) -> list[dict]:
+    """Documents with a REALISTIC token distribution: ~``n_terms`` word
+    types sampled Zipfian (frequency ∝ 1/rank^s, the empirical web-text
+    law) — the corpus variant the dedup/decontamination family is benched
+    on.  The driver testdata's documents table draws from ~32 word types,
+    which makes every 5-gram collide with nearly everything: those bench
+    rows measure the adversarial-corpus artifact, not the operator
+    (round-3 verdict item 6).  Schema matches the testdata table exactly
+    (doc_id, text, lang, source, n_chars) so every documents-table query
+    runs on either corpus unchanged.
+
+    ``dup_fraction`` of docs are near-duplicates of an earlier doc (the
+    original with a handful of token edits) so near-dup pipelines have
+    true positives to find, like a real crawl.
+    """
+    import bisect
+    import math
+
+    rng = random.Random(seed)
+    vocab = zipf_vocabulary(n_terms)
+    # cumulative Zipf weights once; bisect per token draw
+    cum, acc = [], 0.0
+    for r in range(1, n_terms + 1):
+        acc += 1.0 / math.pow(r, zipf_s)
+        cum.append(acc)
+
+    def draw_word() -> str:
+        return vocab[bisect.bisect_left(cum, rng.random() * acc)]
+
+    langs = ["en"] * 8 + ["es", "de", "fr", "zh"]
+    rows: list[dict] = []
+    for i in range(n_docs):
+        if rows and rng.random() < dup_fraction:
+            # near-duplicate: clone an earlier doc, edit a few tokens
+            src = rng.choice(rows)
+            toks = src["text"].split()
+            for _ in range(max(1, len(toks) // 50)):
+                toks[rng.randrange(len(toks))] = draw_word()
+            text = " ".join(toks)
+            lang, source = src["lang"], src["source"]
+        else:
+            n_words = rng.randint(40, 120)
+            text = " ".join(draw_word() for _ in range(n_words))
+            lang = rng.choice(langs)
+            source = f"src{rng.randrange(20)}"
+        rows.append(
+            {
+                "doc_id": i,
+                "text": text,
+                "lang": lang,
+                "source": source,
+                "n_chars": len(text),
+            }
+        )
+    return rows
+
+
+def write_zipf_documents(
+    out_dir: str,
+    n_docs: int = 5000,
+    n_terms: int = 50_000,
+    seed: int = 42,
+) -> str:
+    """Write ``<out_dir>/documents.parquet`` (testdata-shaped) with the
+    Zipfian vocabulary; returns the table path.  Callers pass ``out_dir``
+    anywhere a testdata ``sf_dir`` is accepted."""
+    os.makedirs(out_dir, exist_ok=True)
+    schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("text", pa.string()),
+            ("lang", pa.string()),
+            ("source", pa.string()),
+            ("n_chars", pa.int64()),
+        ]
+    )
+    path = os.path.join(out_dir, "documents.parquet")
+    pq.write_table(
+        pa.Table.from_pylist(zipf_document_rows(n_docs, n_terms, seed), schema=schema),
+        path,
+        compression="zstd",
+    )
+    return path
+
+
 def host_meta_rows(seed: int = 42) -> list[dict]:
     """Small broadcast dimension covering ~90% of hosts (FIXTURES.md §2)."""
     rng = random.Random(seed + 1)

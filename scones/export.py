@@ -33,7 +33,10 @@ def export_jsonl(
     df = spark.read.parquet(snapshot_dir)
     out = df.select(
         "url",
-        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ssXXX").alias("ts"),
+        # fractional seconds included: read_jsonl's to_timestamp accepts
+        # them, so truncating here would make the "lossless" round-trip
+        # lossy for sub-second warc_ts (round-3 advice)
+        F.date_format("warc_ts", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("ts"),
         "lang",
         F.base64("extracted").alias("html_b64"),
         "sink_id",

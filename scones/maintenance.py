@@ -18,6 +18,7 @@ stale ``.compacting``/``.old`` dirs are cleaned on the next call.
 
 from __future__ import annotations
 
+import glob as globmod
 import math
 import os
 import shutil
@@ -44,6 +45,16 @@ def compact_snapshot(
 ) -> dict:
     """Rewrite ``snapshot_id=N`` into ≈``target_bytes`` files per sink.
 
+    Each sink is rewritten by its OWN job with ``repartition(k)`` where
+    ``k = ceil(sink_bytes / target_bytes)`` — keyless round-robin, so the
+    k output files are evenly sized and ``target_bytes`` actually bounds
+    file size within every sink.  (Round-3 advice: a single
+    ``repartition(n, 'sink_id')`` hash-partitions on the sink key alone,
+    which lands ALL of a sink's rows in one partition — n never splits a
+    sink, and a large sink becomes one unbounded single-task file.)
+    Per-sink jobs also need no knowledge of the payload schema, so the
+    same code compacts documents/WARC/JSONL and tail-mode snapshots.
+
     Returns {"files_before", "files_after", "rows", "bytes"}.
     """
     snap = os.path.join(output_dir, f"snapshot_id={snapshot_id}")
@@ -53,20 +64,19 @@ def compact_snapshot(
         shutil.rmtree(stale, ignore_errors=True)
 
     total, files_before = _dir_stats(snap)
-    df = spark.read.parquet(snap)
-    n_sinks = df.select("sink_id").distinct().count()
-    # one task per output file; at least one slot per sink so partitionBy
-    # never fans a task across sinks
-    n_out = max(n_sinks, math.ceil(total / max(target_bytes, 1)))
-    rows_before = df.count()
+    rows_before = spark.read.parquet(snap).count()
 
-    (
-        df.repartition(n_out, "sink_id")
-        .write.mode("overwrite")
-        .partitionBy("sink_id")
-        .parquet(tmp)
-    )
-    rows_after = spark.read.parquet(tmp).count()
+    os.makedirs(tmp, exist_ok=True)  # an all-empty snapshot still swaps
+    rows_after = 0
+    for sink_dir in sorted(globmod.glob(os.path.join(snap, "sink_id=*"))):
+        sink_name = os.path.basename(sink_dir)
+        sink_bytes, _ = _dir_stats(sink_dir)
+        k = max(1, math.ceil(sink_bytes / max(target_bytes, 1)))
+        sdf = spark.read.parquet(sink_dir)
+        sdf.repartition(k).write.mode("overwrite").parquet(
+            os.path.join(tmp, sink_name)
+        )
+        rows_after += spark.read.parquet(os.path.join(tmp, sink_name)).count()
     if rows_after != rows_before:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(

@@ -301,6 +301,90 @@ def _run_docs_snapshot(
     return summary
 
 
+def snapshot_fn_for_mode(mode: str):
+    """The per-mode snapshot runner (documents | tail | warc | jsonl)."""
+    if mode == "warc":
+        return run_warc_snapshot
+    if mode == "jsonl":
+        return run_jsonl_snapshot
+    if mode == "tail":
+        from .tailsource import run_tail_snapshot
+
+        def run_fn(spark_, cfg_):
+            return run_tail_snapshot(
+                spark_,
+                cfg_.input_glob,
+                cfg_.output_dir,
+                cfg_.checkpoint_dir,
+                n_sinks=cfg_.n_sinks,
+                max_length=cfg_.max_length,
+            )
+
+        return run_fn
+    if mode == "documents":
+        return run_snapshot
+    raise ValueError(f"unknown pipeline mode: {mode!r}")
+
+
+def run_from_config(
+    spark: SparkSession,
+    cfg: PipelineConfig,
+    stop_event=None,
+    on_event=None,
+    max_snapshots: int | None = None,
+    max_iterations: int | None = None,
+    sleep_fn=None,
+):
+    """Drive the pipeline entirely from a declarative config — mode,
+    daemon-vs-one-shot, backoff/watchdog timings and the stats endpoint
+    all come from ``cfg`` (config.go:13-42 parity: one JSON file is the
+    whole deployment surface; CLI flags in :func:`main` merely override).
+
+    Returns ``(summaries, stats_server_or_None)``; the caller owns
+    stopping the server (it serves live state while the pipeline runs).
+    """
+    srv = None
+    if cfg.stats_port is not None:
+        from .statsserver import StatisticsServer
+
+        srv = StatisticsServer(
+            cfg.checkpoint_dir,
+            cfg.input_glob,
+            port=cfg.stats_port,
+            output_dir=cfg.output_dir,
+        ).start()
+        if on_event is not None:
+            on_event(
+                {
+                    "event": "stats_endpoint",
+                    "url": f"http://127.0.0.1:{srv.port}/",
+                }
+            )
+    run_fn = snapshot_fn_for_mode(cfg.mode)
+    if cfg.daemon:
+        from .backoff import run_daemon
+
+        kwargs = {} if sleep_fn is None else {"sleep_fn": sleep_fn}
+        summaries = run_daemon(
+            spark,
+            cfg,
+            run_fn=run_fn,
+            retry_min_sec=cfg.retry_min_sec,
+            retry_max_sec=cfg.retry_max_sec,
+            poll_min_sec=cfg.poll_min_sec,
+            poll_max_sec=cfg.poll_max_sec,
+            snapshot_timeout_sec=cfg.snapshot_timeout_sec,
+            stop_event=stop_event,
+            on_event=on_event,
+            max_snapshots=max_snapshots,
+            max_iterations=max_iterations,
+            **kwargs,
+        )
+    else:
+        summaries = [run_fn(spark, cfg)]
+    return summaries, srv
+
+
 def main() -> None:  # pragma: no cover — spark-submit entry point
     import argparse
 
@@ -311,15 +395,17 @@ def main() -> None:  # pragma: no cover — spark-submit entry point
     p.add_argument(
         "--mode",
         choices=["documents", "tail", "warc", "jsonl"],
-        default="documents",
-        help="documents: parquet corpus snapshots; tail: raw log files "
-        "with byte-offset resume (the reference's native mode); warc: "
-        "Common-Crawl-style WARC shards (.warc/.warc.gz); jsonl: "
-        "newline-delimited JSON shards (.jsonl/.jsonl.gz)",
+        default=None,
+        help="override the config's mode.  documents: parquet corpus "
+        "snapshots; tail: raw log files with byte-offset resume (the "
+        "reference's native mode); warc: Common-Crawl-style WARC shards "
+        "(.warc/.warc.gz); jsonl: newline-delimited JSON shards "
+        "(.jsonl/.jsonl.gz)",
     )
     p.add_argument(
         "--daemon",
         action="store_true",
+        default=None,
         help="run forever: retry failed snapshots with exponential "
         "backoff, back off idle polls, drain cleanly on SIGTERM/SIGINT "
         "(the reference's supervisor loop, supervisor.go:94-231)",
@@ -332,9 +418,26 @@ def main() -> None:  # pragma: no cover — spark-submit entry point
         "alongside the run (the reference starts its StatisticsServer "
         "next to the supervisor, cmd/butteredscones/butteredscones.go:65-75)",
     )
+    p.add_argument(
+        "--snapshot-timeout",
+        type=float,
+        default=None,
+        help="hung-JVM watchdog: abandon a snapshot attempt after this "
+        "many seconds, relaunch the SparkSession and retry under backoff",
+    )
     a = p.parse_args()
     cfg = PipelineConfig.from_json(a.config)
-    if a.daemon:
+    # CLI overrides on top of the declarative config
+    if a.mode is not None:
+        cfg.mode = a.mode
+    if a.daemon is not None:
+        cfg.daemon = a.daemon
+    if a.stats_port is not None:
+        cfg.stats_port = a.stats_port
+    if a.snapshot_timeout is not None:
+        cfg.snapshot_timeout_sec = a.snapshot_timeout
+    stop = None
+    if cfg.daemon:
         # install BEFORE the (slow) JVM launch: a TERM during startup
         # must also drain, not die mid-initialization
         import signal
@@ -343,49 +446,15 @@ def main() -> None:  # pragma: no cover — spark-submit entry point
         stop = threading.Event()
         for sig in (signal.SIGTERM, signal.SIGINT):
             signal.signal(sig, lambda *_: stop.set())
-    srv = None
-    if a.stats_port is not None:
-        from .statsserver import StatisticsServer
-
-        srv = StatisticsServer(
-            cfg.checkpoint_dir,
-            cfg.input_glob,
-            port=a.stats_port,
-            output_dir=cfg.output_dir,
-        ).start()
-        print({"stats_endpoint": f"http://127.0.0.1:{srv.port}/"}, flush=True)
     spark = get_spark(app_name="scones-pipeline")
-    if a.mode == "warc":
-        run_fn = run_warc_snapshot
-    elif a.mode == "jsonl":
-        run_fn = run_jsonl_snapshot
-    elif a.mode == "tail":
-        from .tailsource import run_tail_snapshot
-
-        def run_fn(spark_, cfg_):
-            return run_tail_snapshot(
-                spark_,
-                cfg_.input_glob,
-                cfg_.output_dir,
-                cfg_.checkpoint_dir,
-                n_sinks=cfg_.n_sinks,
-                max_length=cfg_.max_length,
-            )
-    else:
-        run_fn = run_snapshot
-
-    if a.daemon:
-        from .backoff import run_daemon
-
-        run_daemon(
-            spark,
-            cfg,
-            run_fn=run_fn,
-            stop_event=stop,
-            on_event=lambda ev: print(ev, flush=True),
-        )
-    else:
-        print(run_fn(spark, cfg))
+    summaries, srv = run_from_config(
+        spark,
+        cfg,
+        stop_event=stop,
+        on_event=lambda ev: print(ev, flush=True),
+    )
+    if not cfg.daemon:
+        print(summaries[0])
     if srv is not None:
         srv.stop()
 

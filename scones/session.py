@@ -87,3 +87,58 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def rebuild_session(old: SparkSession | None, **get_spark_kwargs) -> SparkSession:
+    """Tear down a (possibly hung) SparkSession's JVM and launch a fresh one.
+
+    The watchdog path for the daemon loop (scones/backoff.py): round 3
+    observed a local Spark JVM hang with zero CPU where the py4j call
+    never answered — ``spark.stop()`` on such a session can itself block
+    forever, so every teardown step here is bounded or force-kills:
+
+      1. ``old.stop()`` is attempted on a side thread with a short join
+         (a healthy JVM stops cleanly; a hung one is abandoned);
+      2. the py4j gateway is shut down and its JVM child process killed
+         (the same treatment bench.py's FlagshipServer gives a hung
+         server: "hung or dead either way, reap the JVM");
+      3. pyspark's process-global gateway/context singletons are cleared
+         so :func:`get_spark` launches a NEW JVM instead of reattaching
+         to the dead gateway.
+
+    On a real cluster this is the cluster manager's supervise/restart;
+    in local mode the driver has to be its own supervisor.
+    """
+    import threading
+
+    from pyspark import SparkContext
+    from pyspark.sql import SparkSession as _SS
+
+    master = None
+    if old is not None:
+        try:
+            master = old.sparkContext.master
+        except Exception:
+            master = None
+        t = threading.Thread(target=old.stop, daemon=True)
+        t.start()
+        t.join(timeout=15)  # a hung JVM blocks stop(); don't wait on it
+        gw = getattr(SparkContext, "_gateway", None)
+        if gw is not None:
+            try:
+                gw.shutdown()
+            except Exception:
+                pass
+            proc = getattr(gw, "proc", None)
+            if proc is not None:
+                try:
+                    proc.kill()
+                except Exception:
+                    pass
+    # clear the process-global singletons so the next builder relaunches
+    SparkContext._gateway = None
+    SparkContext._jvm = None
+    SparkContext._active_spark_context = None
+    _SS._instantiatedSession = None
+    get_spark_kwargs.setdefault("master", master)
+    return get_spark(**get_spark_kwargs)

@@ -431,12 +431,17 @@ def dup_components_star(
         the star contraction (measured on path graphs: 4/5/6 rounds at
         n=64/256/1024 vs min-propagation's 6/8/10)
 
-    Rounds end when the edge multiset checksum (count, Σu, Σv) is stable
-    — the same cheap one-scalar-action convergence style as
-    dup_components (labels only ever move toward component minima, so a
-    stable checksum with a changed edge set would need an exactly
-    compensating integer coincidence).  ``localCheckpoint`` per round
-    keeps the DAG flat.  At the fixed point every edge is (node → its
+    Rounds end when the edge multiset checksum is stable.  Unlike
+    dup_components' label sum (monotone — sum equality IS a fixed
+    point), the star rounds rewrite the edge set non-monotonically, so
+    (count, Σu, Σv) alone could coincide across a real change via an
+    integer-compensating rewrite (round-3 advice).  The checksum
+    therefore also folds Σ xxhash64(u, v) — a 64-bit hash-sum of the
+    pair multiset that an accidental rewrite cannot preserve — still one
+    cheap scalar aggregate per round, no per-row diff job.  Exhausting
+    ``max_iter`` without a fixed point raises instead of silently
+    returning non-minimal labels.  ``localCheckpoint`` per round keeps
+    the DAG flat.  At the fixed point every edge is (node → its
     component root), so labels fall out of one final groupBy.
     """
     edges = (
@@ -451,11 +456,15 @@ def dup_components_star(
             F.count("*").alias("n"),
             F.sum("u").alias("su"),
             F.sum("v").alias("sv"),
+            # decimal accumulator: a bigint sum of 64-bit hashes overflows
+            # (ANSI mode raises); decimal(38,0) holds ~10^12 edges × 2^63
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sh"),
         ).first()
-        return (row["n"], row["su"], row["sv"])
+        return (row["n"], row["su"], row["sv"], row["sh"])
 
     prev = checksum(edges)
     rounds = 0
+    converged = False
     for _ in range(max_iter):
         rounds += 1
         # large-star: for every neighbor v > u, emit (v, min(N(u) ∪ {u}))
@@ -502,8 +511,15 @@ def dup_components_star(
         )
         cur = checksum(edges)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        raise RuntimeError(
+            f"dup_components_star: no fixed point after max_iter={max_iter} "
+            "rounds — labels would be non-minimal; raise max_iter "
+            "(O(log² n) rounds suffice for any graph)"
+        )
     if round_counter is not None:
         round_counter.append(rounds)
     return (

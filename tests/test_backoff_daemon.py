@@ -135,6 +135,166 @@ def test_daemon_stop_event_drains_before_next_attempt(
     assert len(done) == 1 and done[0]["rows"] == 400
 
 
+def test_watchdog_abandons_hung_attempt_restarts_session_commits_once(
+    spark, tmp_path, corpus_dir, host_meta_path
+):
+    """Hung-JVM watchdog (round-3 incident): attempts 1-2 stall past the
+    wall ceiling → each is abandoned, the session factory is invoked to
+    relaunch, and the retry runs under the documented backoff (50 ms →
+    100 ms, supervisor.go:171 doubling); attempt 3 commits the snapshot
+    EXACTLY once.  The factory is faked here so the suite's shared JVM
+    survives; the real teardown path is exercised end-to-end in
+    test_watchdog_real_session_rebuild_subprocess."""
+    import threading
+
+    from scones.lineage import LineageStore
+
+    cfg = _cfg(tmp_path, corpus_dir, host_meta_path)
+    release = threading.Event()
+    attempts = []
+    factory_calls = []
+    events = []
+
+    def stalling_run(spark_, cfg_):
+        attempts.append(spark_)
+        if len(attempts) <= 2:
+            release.wait()  # the py4j call that never answers
+            return {"snapshot_id": None}
+        # the successful attempt must finish WITHIN the (short) ceiling,
+        # so commit directly instead of running a multi-second Spark job
+        # under a 0.3 s watchdog; the real-snapshot-under-watchdog path
+        # is covered by the subprocess test below with a generous ceiling
+        store = LineageStore(cfg_.checkpoint_dir)
+        sid = store.next_snapshot_id()
+        store.commit(
+            sid,
+            [
+                {
+                    "snapshot_id": sid,
+                    "src_file": "/in/a.parquet",
+                    "offset_start": 0,
+                    "offset_end": 400,
+                    "row_count": 400,
+                }
+            ],
+        )
+        return {"snapshot_id": sid, "rows": 400}
+
+    def fake_factory(old):
+        factory_calls.append(old)
+        return spark  # pretend-relaunch; keeps the suite's JVM alive
+
+    try:
+        sleeps = []
+        done = run_daemon(
+            spark,
+            cfg,
+            run_fn=stalling_run,
+            max_snapshots=1,
+            sleep_fn=sleeps.append,
+            snapshot_timeout_sec=0.3,
+            session_factory=fake_factory,
+            on_event=events.append,
+        )
+    finally:
+        release.set()  # unblock the abandoned worker threads
+    assert len(attempts) == 3  # hang, hang, succeed
+    assert sleeps == [0.05, 0.1]  # golden doubling under watchdog retries
+    assert [e["event"] for e in events if e["event"] != "snapshot"] == [
+        "watchdog_restart",
+        "watchdog_restart",
+    ]
+    assert factory_calls == [spark, spark]  # old session handed to factory
+    assert len(done) == 1 and done[0]["snapshot_id"] == 1
+    assert done[0]["rows"] == 400
+    # committed EXACTLY once despite two abandoned attempts
+    assert LineageStore(cfg.checkpoint_dir).committed_snapshots() == [1]
+
+
+def test_watchdog_real_session_rebuild_subprocess(tmp_path):
+    """The REAL teardown: rebuild_session stops the old session, shuts
+    down the py4j gateway (killing the JVM) and launches a fresh one; the
+    retried snapshot commits on the new session.  Runs in a subprocess
+    because the gateway is process-global — killing it in-process would
+    take the suite's shared SparkSession with it."""
+    import json
+    import subprocess
+    import sys
+    import textwrap
+
+    script = textwrap.dedent(
+        """
+        import json, sys, threading
+        sys.path.insert(0, %(repo)r)
+        from scones.backoff import run_daemon
+        from scones.config import PipelineConfig
+        from scones.corpus import write_corpus, write_host_meta
+        from scones.pipeline import run_snapshot
+        from scones.session import get_spark
+
+        base = %(base)r
+        write_corpus(base + "/in", n_docs=40, n_files=2, seed=11)
+        write_host_meta(base + "/host_meta.parquet")
+        cfg = PipelineConfig(
+            input_glob=base + "/in/*.parquet",
+            output_dir=base + "/out",
+            checkpoint_dir=base + "/ckpt",
+            host_meta_path=base + "/host_meta.parquet",
+            n_sinks=2,
+        )
+        spark0 = get_spark(master="local[2]", app_name="watchdog-old")
+        old_app_id = spark0.sparkContext.applicationId
+        old_jvm_pid = spark0.sparkContext._gateway.proc.pid
+        seen = []
+
+        def stalling_run(spark_, cfg_):
+            seen.append(spark_.sparkContext.applicationId)
+            if len(seen) == 1:
+                threading.Event().wait()  # stall forever
+            return run_snapshot(spark_, cfg_)
+
+        # ceiling must comfortably exceed a REAL snapshot's duration on a
+        # fresh JVM (the watchdog applies to successful attempts too) while
+        # still bounding the stalled first attempt
+        done = run_daemon(
+            spark0, cfg, run_fn=stalling_run, max_snapshots=1,
+            sleep_fn=lambda s: None, snapshot_timeout_sec=60.0,
+        )
+        import os, signal
+        try:
+            os.kill(old_jvm_pid, 0)
+            old_jvm_alive = True
+        except OSError:
+            old_jvm_alive = False
+        from scones.lineage import LineageStore
+        print(json.dumps({
+            "apps": seen,
+            "old_app_id": old_app_id,
+            "old_jvm_alive": old_jvm_alive,
+            "rows": done[0]["rows"],
+            "committed": LineageStore(cfg.checkpoint_dir).committed_snapshots(),
+        }))
+        """
+    ) % {
+        "repo": os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "base": str(tmp_path),
+    }
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        timeout=420,
+    )
+    assert out.returncode == 0, out.stderr[-4000:]
+    res = json.loads(out.stdout.strip().splitlines()[-1])
+    assert len(res["apps"]) == 2
+    assert res["apps"][0] == res["old_app_id"]
+    assert res["apps"][1] != res["old_app_id"]  # genuinely new session
+    assert not res["old_jvm_alive"]  # old JVM was reaped
+    assert res["rows"] == 40
+    assert res["committed"] == [1]
+
+
 def test_run_snapshot_empty_inputs_commit_zero_row_markers(
     spark, tmp_path, host_meta_path
 ):

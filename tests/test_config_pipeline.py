@@ -1,0 +1,98 @@
+"""Declarative config parity (reference config.go:13-42): one JSON file
+carries the whole deployment surface — sources, sinks, mode, daemon
+behavior, backoff timings, watchdog ceiling, stats port — and the
+pipeline runs from it end-to-end (round-3 verdict item 8: these knobs
+were CLI-only)."""
+
+import json
+import os
+import urllib.request
+
+from scones.config import PipelineConfig
+from scones.corpus import write_corpus, write_host_meta
+from scones.pipeline import run_from_config, snapshot_fn_for_mode
+
+
+def test_operational_knobs_roundtrip_json(tmp_path):
+    cfg = PipelineConfig(
+        input_glob="/x/*.parquet",
+        output_dir="/y",
+        checkpoint_dir="/z",
+        mode="jsonl",
+        daemon=True,
+        retry_min_sec=0.025,
+        retry_max_sec=2.5,
+        poll_min_sec=0.5,
+        poll_max_sec=20.0,
+        snapshot_timeout_sec=600.0,
+        stats_port=8099,
+        static_fields={"deployment": "prod"},
+    )
+    p = str(tmp_path / "cfg.json")
+    cfg.to_json(p)
+    assert PipelineConfig.from_json(p) == cfg
+    # the file is plain declarative JSON an operator can diff/review
+    raw = json.load(open(p))
+    assert raw["mode"] == "jsonl" and raw["snapshot_timeout_sec"] == 600.0
+
+
+def test_mode_dispatch_covers_all_formats():
+    import pytest
+
+    from scones.pipeline import (
+        run_jsonl_snapshot,
+        run_snapshot,
+        run_warc_snapshot,
+    )
+
+    assert snapshot_fn_for_mode("documents") is run_snapshot
+    assert snapshot_fn_for_mode("warc") is run_warc_snapshot
+    assert snapshot_fn_for_mode("jsonl") is run_jsonl_snapshot
+    assert callable(snapshot_fn_for_mode("tail"))
+    with pytest.raises(ValueError):
+        snapshot_fn_for_mode("nope")
+
+
+def test_config_driven_daemon_end_to_end(spark, tmp_path):
+    """A config file alone drives a daemon run: snapshot committed, idle
+    polls use the CONFIG's backoff minimum (not the built-in default),
+    and the CONFIG-requested stats endpoint serves live state."""
+    write_corpus(str(tmp_path / "in"), n_docs=30, n_files=2, seed=61)
+    meta = str(tmp_path / "host_meta.parquet")
+    write_host_meta(meta)
+    cfg_path = str(tmp_path / "cfg.json")
+    PipelineConfig(
+        input_glob=str(tmp_path / "in" / "*.parquet"),
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        host_meta_path=meta,
+        n_sinks=2,
+        mode="documents",
+        daemon=True,
+        poll_min_sec=0.125,  # non-default: proves the config is honored
+        stats_port=0,  # ephemeral
+    ).to_json(cfg_path)
+
+    cfg = PipelineConfig.from_json(cfg_path)
+    sleeps, events = [], []
+    summaries, srv = run_from_config(
+        spark,
+        cfg,
+        on_event=events.append,
+        max_iterations=3,
+        sleep_fn=sleeps.append,  # capture idle-poll delays
+    )
+    try:
+        assert len(summaries) == 1 and summaries[0]["rows"] == 30
+        # iterations 2-3 idle-poll at the config's minimum, doubling
+        assert sleeps == [0.125, 0.25]
+        assert srv is not None
+        url = [e for e in events if e["event"] == "stats_endpoint"][0]["url"]
+        payload = json.loads(urllib.request.urlopen(url, timeout=10).read())
+        assert payload["backlog"]["rows_committed"] == 30
+        assert sum(s["rows_sent"] for s in payload["sinks"].values()) == 30
+    finally:
+        if srv is not None:
+            srv.stop()
+    out = spark.read.parquet(os.path.join(str(tmp_path / "out"), "snapshot_id=1"))
+    assert out.count() == 30

@@ -13,7 +13,10 @@ def _recs(lo: int, hi: int) -> list[dict]:
     return [
         {
             "url": f"https://j{i % 4}.example/d/{i}",
-            "ts": "2024-07-01T00:00:00Z",
+            # sub-second precision on purpose: the export round-trip must
+            # preserve fractional seconds (a whole-second-only fixture
+            # can't catch a truncating date_format — round-3 advice)
+            "ts": f"2024-07-01T00:00:{i % 60:02d}.{(i * 137431) % 1_000_000:06d}Z",
             "lang": "en",
             "html_b64": base64.b64encode(
                 f"line a {i}\r\nline b {i}\n".encode() + b"tail-partial"

@@ -111,6 +111,114 @@ def test_all_empty_snapshot_commits_markers(spark, tmp_path):
     assert run_snapshot(spark, cfg)["snapshot_id"] is None
 
 
+def _fake_rows(sid: int) -> list[dict]:
+    return [
+        {
+            "snapshot_id": sid,
+            "src_file": f"/in/f{sid:04d}.parquet",
+            "offset_start": 0,
+            "offset_end": 100 + sid,
+            "row_count": 10,
+        }
+    ]
+
+
+def test_manifest_compaction_folds_to_one_file(tmp_path):
+    """50+ per-commit manifests fold into one base; planning afterwards
+    reads ≤2 manifest files (base + at most the newest loose commit) and
+    every store query is unchanged (round-3 verdict item 2)."""
+    store = LineageStore(str(tmp_path / "ckpt"), compact_threshold=0)
+    for sid in range(1, 56):
+        store.commit(sid, _fake_rows(sid))
+    assert len(store._files()) == 55
+    before = {
+        "snaps": store.committed_snapshots(),
+        "files": store.processed_files(),
+        "next": store.next_snapshot_id(),
+        "rows": store.read_all().num_rows,
+    }
+    res = store.compact_manifest()
+    assert res["fold_point"] == 55 and res["files_after"] == 1
+    assert len(store._files()) == 1  # planning now reads ONE file
+    assert store.committed_snapshots() == before["snaps"]
+    assert store.processed_files() == before["files"]
+    assert store.next_snapshot_id() == before["next"]
+    assert store.read_all().num_rows == before["rows"]
+    # post-fold commits sit next to the base: ≤2 files until the next fold
+    store.commit(56, _fake_rows(56))
+    assert len(store._files()) == 2
+    assert store.next_snapshot_id() == 57
+    # idempotent re-fold
+    store.compact_manifest()
+    assert len(store._files()) == 1
+    assert store.committed_snapshots() == list(range(1, 57))
+
+
+def test_manifest_auto_compaction_on_commit(tmp_path):
+    """The daemon path needs no operator action: once ``compact_threshold``
+    loose manifests accumulate, commit() folds them automatically."""
+    store = LineageStore(str(tmp_path / "ckpt"), compact_threshold=10)
+    for sid in range(1, 10):
+        store.commit(sid, _fake_rows(sid))
+    assert len(store._loose_files()) == 9  # below threshold: untouched
+    store.commit(10, _fake_rows(10))  # tenth commit trips the fold
+    assert len(store._loose_files()) == 0
+    assert len(store._files()) == 1
+    assert store.committed_snapshots() == list(range(1, 11))
+
+
+def test_manifest_compaction_crash_between_publish_and_cleanup(tmp_path):
+    """A crash after the base rename but before loose-file deletion leaves
+    shadowed duplicates on disk; readers must ignore them (fold-point
+    rule) and the next compaction removes them."""
+    import shutil
+
+    store = LineageStore(str(tmp_path / "ckpt"), compact_threshold=0)
+    for sid in range(1, 6):
+        store.commit(sid, _fake_rows(sid))
+    # simulate the crash: publish the base, but "die" before cleanup by
+    # restoring the loose files afterwards
+    saved = {f: (tmp_path / os.path.basename(f)) for f in store._loose_files()}
+    for f, dst in saved.items():
+        shutil.copy(f, dst)
+    store.compact_manifest()
+    for f, dst in saved.items():
+        shutil.copy(dst, f)  # shadowed duplicates reappear
+    # readers see each row exactly once despite the duplicates on disk
+    assert store.read_all().num_rows == 5
+    assert store.committed_snapshots() == [1, 2, 3, 4, 5]
+    res = store.compact_manifest()  # next fold cleans the debris
+    assert len(store._loose_files()) == 0
+    assert res["rows"] == 5
+
+
+def test_manifest_compaction_end_to_end_resume_and_time_travel(spark, tmp_path):
+    """Compaction under the real pipeline: snapshots land, manifest folds,
+    resume stays a no-op and as-of reads are unchanged."""
+    cfg = _cfg(tmp_path)
+    for seed, n in ((1, 20), (2, 30), (3, 10)):
+        write_corpus(str(tmp_path / "in" / f"wave{seed}"), n_docs=n, n_files=1, seed=seed)
+        # input_glob must see the new wave
+        cfg.input_glob = str(tmp_path / "in" / "*" / "*.parquet")
+        run_snapshot(spark, cfg)
+    store = LineageStore(cfg.checkpoint_dir)
+    assert store.committed_snapshots() == [1, 2, 3]
+    as_of_2_before = read_committed(
+        spark, store, cfg.output_dir, as_of_snapshot=2
+    ).count()
+    store.compact_manifest()
+    assert len(store._files()) == 1
+    # resume: everything already consumed → no-op snapshot
+    assert run_snapshot(spark, cfg)["snapshot_id"] is None
+    # time travel unchanged through the fold
+    assert (
+        read_committed(spark, store, cfg.output_dir, as_of_snapshot=2).count()
+        == as_of_2_before
+        == 50
+    )
+    assert read_committed(spark, store, cfg.output_dir).count() == 60
+
+
 def test_config_json_roundtrip(tmp_path):
     cfg = PipelineConfig(
         input_glob="/x/*.parquet",

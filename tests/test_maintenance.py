@@ -42,6 +42,39 @@ def test_compact_reduces_files_preserves_rows(spark, tmp_path):
     assert res["rows"] == s["rows"] == len(after)
 
 
+def test_compact_target_bytes_bounds_files_within_sink(spark, tmp_path):
+    """target_bytes actually splits a large sink: per-sink output file
+    count == ceil(sink_bytes / target) and files are evenly sized
+    (round-robin), not one unbounded single-task file per sink
+    (round-3 advice: repartition(n, 'sink_id') could never split one)."""
+    import glob
+    import math
+
+    cfg, s = _snapshot(spark, tmp_path)
+    snap = os.path.join(cfg.output_dir, "snapshot_id=1")
+    # pick a target that forces ≥3 files in the largest sink
+    sink_bytes = {}
+    for d in glob.glob(os.path.join(snap, "sink_id=*")):
+        sink_bytes[d] = sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    target = max(sink_bytes.values()) // 3
+    res = compact_snapshot(spark, cfg.output_dir, 1, target_bytes=target)
+    assert res["rows"] == s["rows"]
+    for d, nbytes in sink_bytes.items():
+        parts = [
+            os.path.getsize(p)
+            for p in glob.glob(os.path.join(d, "*.parquet"))
+        ]
+        want = max(1, math.ceil(nbytes / target))
+        assert len(parts) == want, (d, len(parts), want)
+        # round-robin balance: no file more than ~2x the mean
+        assert max(parts) <= 2 * (sum(parts) / len(parts))
+
+
 def test_compact_cleans_stale_attempt_dirs(spark, tmp_path):
     cfg, _ = _snapshot(spark, tmp_path, spread=2)
     snap = os.path.join(cfg.output_dir, "snapshot_id=1")

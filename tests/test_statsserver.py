@@ -164,3 +164,64 @@ def test_bytes_committed_sums_spans_not_hwm(tmp_path):
     payload = stats_payload(str(tmp_path / "ckpt"), str(tmp_path / "*.log"))
     assert payload["backlog"]["bytes_committed"] == 250
     assert payload["backlog"]["rows_committed"] == 10
+
+
+def test_footer_cache_second_request_reads_zero_footers(spark, tmp_path):
+    """Round-3 verdict item 3: the endpoint must not footer-read every
+    part file on every poll.  With the server's FooterCache, request 2
+    opens ZERO already-seen footers, yields a byte-identical payload,
+    and a new snapshot only costs footer reads for ITS new parts."""
+    from scones.statsserver import FooterCache, sink_stats
+
+    cfg = _cfg(tmp_path)
+    write_corpus(str(tmp_path / "in"), n_docs=40, n_files=2, seed=88)
+    run_snapshot(spark, cfg)
+
+    cache = FooterCache()
+    first = sink_stats(cfg.output_dir, cache)
+    reads_after_first = cache.reads
+    assert reads_after_first > 0
+    second = sink_stats(cfg.output_dir, cache)
+    assert second == first  # unchanged payload
+    assert cache.reads == reads_after_first  # zero re-reads
+
+    # and matches the uncached computation exactly
+    assert sink_stats(cfg.output_dir) == first
+
+    # a new snapshot invalidates only its own parts
+    import shutil
+
+    write_corpus(str(tmp_path / "in2"), n_docs=12, n_files=1, seed=89)
+    shutil.copy(
+        str(tmp_path / "in2" / "docs_0000.parquet"),
+        str(tmp_path / "in" / "docs_0050.parquet"),
+    )
+    run_snapshot(spark, cfg)
+    import glob as globmod
+    import os as osmod
+
+    new_parts = len(
+        globmod.glob(
+            osmod.path.join(
+                cfg.output_dir, "snapshot_id=2", "sink_id=*", "*.parquet"
+            )
+        )
+    )
+    third = sink_stats(cfg.output_dir, cache)
+    assert cache.reads == reads_after_first + new_parts
+    assert sum(s["rows_sent"] for s in third.values()) == 52
+
+    # the server wires one cache across HTTP requests
+    srv = StatisticsServer(
+        cfg.checkpoint_dir, cfg.input_glob, output_dir=cfg.output_dir
+    ).start()
+    try:
+        for _ in range(2):
+            json.loads(
+                urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}/", timeout=10
+                ).read()
+            )
+        assert srv.footer_cache.reads == reads_after_first + new_parts
+    finally:
+        srv.stop()
