@@ -688,6 +688,139 @@ def shard_corpus(spark, sf_dir):
     return sc(_t(spark, sf_dir, "documents"), n_shards=8, seed=7)
 
 
+# C4-style cross-corpus span dedup: fixed 10-word spans, keep only the
+# first occurrence corpus-wide (lowest (doc_id, span_idx)), reassemble
+# docs from surviving spans.  Oracle replays keep-first with a window
+# rank over the same span grouping.
+@_q(
+    "span_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    spans_l AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT)),
+               i -> {'i': i,
+                     's': array_to_string(list_slice(ws, i*10 + 1, i*10 + 10), ' ')}))
+               AS sp
+      FROM w
+    ), spans AS (
+      SELECT doc_id, CAST(sp.i AS INT) AS span_idx, sp.s AS span FROM spans_l
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY span
+                                   ORDER BY doc_id, span_idx) AS rn
+      FROM spans
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(span, ' ' ORDER BY span_idx)
+                    FILTER (WHERE rn = 1), '') AS clean_text,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_spans_kept,
+           COUNT(*) FILTER (WHERE rn > 1) AS n_spans_dropped
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def span_dedup(spark, sf_dir):
+    from scones.textops import span_dedup as sd
+
+    return sd(_t(spark, sf_dir, "documents"), span_words=10)
+
+
+# Document-frequency / idf vocabulary profile (stopword pruning, corpus
+# weighting).  Integer df + round-6 idf → hash-stable.
+@_q(
+    "doc_freq_stats",
+    """
+    WITH tok AS (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
+    ), terms AS (
+      SELECT DISTINCT doc_id, term FROM tok WHERE term <> ''
+    )
+    SELECT term, COUNT(*) AS df,
+           ROUND(ln(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                    / COUNT(*)), 6) AS idf
+    FROM terms GROUP BY term ORDER BY df DESC, term ASC LIMIT 50
+    """,
+)
+def doc_freq_stats(spark, sf_dir):
+    from scones.textops import doc_freq_stats as dfs
+
+    return dfs(_t(spark, sf_dir, "documents"), top_n=50)
+
+
+# CCNet-style LM quality score: add-one-smoothed bigram model trained on
+# the corpus itself, per-doc average bigram cross-entropy (bits).  The
+# oracle replays the identical model and score; bits rounded to 4 so the
+# (order-insensitive to ~1e-13) float sums hash identically.
+@_q(
+    "lm_perplexity",
+    """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    uni AS (SELECT UNNEST(t) AS w1 FROM tok),
+    uc AS (SELECT w1, COUNT(*) AS cu FROM uni GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w1) AS vs FROM uni),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t)),
+               i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+      FROM tok WHERE len(t) >= 2
+    ), bgf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+    bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bgf GROUP BY w1, w2),
+    scored AS (
+      SELECT doc_id, -log2((cb + 1) / (cu + v.vs)) AS nll
+      FROM bgf JOIN bc USING (w1, w2) JOIN uc USING (w1), v
+    )
+    SELECT d.doc_id, COALESCE(s.n, 0) AS n_bigrams,
+           COALESCE(s.b, 0.0) AS bits_per_bigram
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, COUNT(*) AS n, ROUND(AVG(nll), 4) AS b
+      FROM scored GROUP BY doc_id
+    ) s ON d.doc_id = s.doc_id
+    """,
+)
+def lm_perplexity(spark, sf_dir):
+    from scones.textops import lm_perplexity as lmp
+
+    return lmp(_t(spark, sf_dir, "documents"))
+
+
+def _pack_oracle_sql(budget: int, n_shards: int, seed: int) -> str:
+    nib = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    u16 = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4))
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+             md5('{seed}' || '|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), sharded AS (
+      SELECT *, CAST(({u16}) % {n_shards} AS INT) AS shard FROM hashed
+    ), laid_out AS (
+      SELECT doc_id, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               ORDER BY shard, h, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS gstart
+      FROM sharded
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(gstart / {budget}.0) AS BIGINT) AS bin_id,
+           gstart % {budget} AS bin_offset
+    FROM laid_out
+    """
+
+
+# Token-budget sequence packing (concat-and-chunk pretraining layout):
+# deterministic hash order, distributed prefix sum (within-shard window
+# + broadcast shard bases — no global window), integer outputs.  The
+# oracle replays the layout with one global ordered window, which must
+# equal the two-level prefix sum exactly.
+@_q("pack_sequences", _pack_oracle_sql(512, 8, 7))
+def pack_sequences(spark, sf_dir):
+    from scones.textops import pack_sequences as ps
+
+    return ps(
+        _t(spark, sf_dir, "documents"), budget_tokens=512, n_shards=8, seed=7
+    )
+
+
 @_q(
     "orders_rollup",
     """

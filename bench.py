@@ -104,6 +104,12 @@ BENCH_QUERIES = [
     "ngram_jaccard_pairs",
     "dedup_near_keep_min",
     "ann_ivf_learned_fullprobe",
+    # round-4 new operators: C4-style span dedup, df/idf vocabulary
+    # profile, bigram-LM quality scoring, token-budget sequence packing
+    "span_dedup",
+    "doc_freq_stats",
+    "lm_perplexity",
+    "pack_sequences",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary
@@ -123,6 +129,8 @@ ZIPF_BENCH_QUERIES = [
     "clean_corpus",
     "decontaminate",
     "simhash",
+    "span_dedup",
+    "lm_perplexity",
 ]
 
 

@@ -793,3 +793,259 @@ def shard_corpus(
         .withColumn("pos", F.row_number().over(w).cast("bigint"))
         .select(id_col, "shard", "pos")
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    span_words: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style cross-corpus span deduplication: split every document
+    into fixed ``span_words``-word spans, keep only the FIRST occurrence
+    of each distinct span corpus-wide (first = lowest (doc_id, span_idx)),
+    and reassemble documents from their surviving spans (C4 removed
+    repeated three-sentence spans the same way; the fixed word window is
+    the punctuation-free analogue for this corpus).
+
+    Returns (doc_id, clean_text, n_spans_kept, n_spans_dropped); docs
+    whose every span was seen earlier come back with empty clean_text —
+    the caller's filter decides their fate (clean_corpus drops them).
+
+    Scale shape: span extraction is row-local (slice over the split
+    array); the keep-first winner per span is ONE groupBy with a
+    map-side-combinable ``min(struct(doc_id, span_idx))`` — no window,
+    no global sort; winners join back on the span hash (16-byte md5
+    key, never span text), and reassembly is one groupBy(doc_id) with a
+    row-local sort_array fold.  Three key-hashed exchanges total,
+    payload-free beyond the md5 keys.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(words) / span_words).cast("int")
+    spans = (
+        df.select(
+            id_col,
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), n_spans - 1),
+                    lambda i: F.concat_ws(
+                        " ", F.slice(words, i * span_words + 1, span_words)
+                    ),
+                )
+            ).alias("span_idx", "span"),
+        )
+        .withColumn("span_key", F.md5("span"))
+    )
+    winners = spans.groupBy("span_key").agg(
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("span_idx").alias("s"))).alias(
+            "first_occ"
+        )
+    )
+    kept = spans.join(winners, "span_key").withColumn(
+        "keep",
+        (F.col("first_occ.d") == F.col(id_col))
+        & (F.col("first_occ.s") == F.col("span_idx")),
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(
+                                F.col("keep"),
+                                F.struct(
+                                    F.col("span_idx").alias("i"),
+                                    F.col("span").alias("t"),
+                                ),
+                            )
+                        )
+                    ),
+                    lambda s: s["t"],
+                ),
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_spans_kept"),
+            F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_spans_dropped"),
+        )
+    )
+
+
+def doc_freq_stats(
+    df: DataFrame,
+    top_n: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Document-frequency / idf statistics per term: df = number of
+    documents containing the term, idf = ln(N / df).  The vocabulary
+    profile a corpus-weighting or stopword-pruning pass starts from.
+
+    Scale shape: per-doc DISTINCT terms are computed row-locally
+    (array_distinct on the split — no dedup shuffle), the df groupBy is
+    map-side combinable, and top-n is TakeOrdered (per-partition heads +
+    driver merge, no global sort).  N comes from one count() — on
+    Iceberg it would be the snapshot row count.
+    """
+    import math as _math  # noqa: F401 (documentation of the ln base)
+
+    n_docs = df.count()
+    terms = df.select(
+        F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("term")
+    ).where(F.col("term") != "")
+    return (
+        terms.groupBy("term")
+        .agg(F.count("*").alias("df"))
+        .select(
+            "term",
+            "df",
+            F.round(F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias("idf"),
+        )
+        .orderBy(F.col("df").desc(), F.col("term").asc())
+        .limit(top_n)
+    )
+
+
+def lm_perplexity(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """CCNet-style language-model quality score: train an add-one-
+    smoothed bigram LM on the corpus itself, then score every document
+    by average bigram cross-entropy (bits/bigram; perplexity = 2^H).
+    Low score = the doc looks like the corpus; high = junk/outlier —
+    the standard LM filter for pre-training data, with the corpus as
+    its own reference model (CCNet uses a Wikipedia KenLM; the plan
+    shape is identical with an external model table).
+
+    H(doc) = avg over bigrams of -log2 P(w2|w1),
+    P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V).
+
+    Scale shape: bigram extraction is ROW-LOCAL (arrays_zip of two
+    array slices — no self-join, no window); the model is two map-side-
+    combinable groupBys (bigram counts, unigram counts); scoring joins
+    doc-bigrams to the model on the bigram/unigram keys (hash joins on
+    string keys, AQE-sized) and aggregates per doc.  V (vocab size) is
+    one countDistinct.  Single-doc-token edge: docs with < 2 tokens get
+    H = 0 (no bigrams).
+    """
+    words = F.split(F.col(text_col), " ")
+    bigrams_of = F.expr(
+        f"transform(arrays_zip(slice(split({text_col}, ' '), 1, "
+        f"size(split({text_col}, ' ')) - 1), slice(split({text_col}, ' '), 2, "
+        f"size(split({text_col}, ' ')) - 1)), p -> struct(p['0'] as w1, p['1'] as w2))"
+    )
+    doc_bigrams = df.select(
+        id_col, F.explode(bigrams_of).alias("bg")
+    ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    bigram_counts = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count("*").alias("c_bigram")
+    )
+    unigram_counts = df.select(
+        F.explode(words).alias("w1")
+    ).groupBy("w1").agg(F.count("*").alias("c_unigram"))
+    vocab_size = (
+        df.select(F.explode(words).alias("w")).agg(
+            F.countDistinct("w").alias("v")
+        ).first()["v"]
+    )
+
+    scored = (
+        doc_bigrams.join(bigram_counts, ["w1", "w2"])
+        .join(unigram_counts, "w1")
+        .withColumn(
+            "nll",
+            -F.log2(
+                (F.col("c_bigram") + 1)
+                / (F.col("c_unigram") + F.lit(float(vocab_size)))
+            ),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(
+            scored.groupBy(id_col).agg(
+                F.count("*").alias("n_bigrams"),
+                F.round(F.avg("nll"), 4).alias("bits_per_bigram"),
+            ),
+            id_col,
+            "left",
+        )
+        .select(
+            id_col,
+            F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+            F.coalesce("bits_per_bigram", F.lit(0.0)).alias("bits_per_bigram"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget_tokens: int = 512,
+    n_shards: int = 8,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Token-budget sequence packing: lay the corpus out in a
+    deterministic pseudo-random order, concatenate token counts, and
+    slice fixed ``budget_tokens`` training windows — each doc gets the
+    bin it STARTS in plus its offset there (concat-and-chunk packing, a
+    doc may straddle into the next bin, exactly like GPT-style
+    pretraining packing of a tokenized stream).
+
+    Global order is (shard, md5(seed|id), id) — the same retry-stable
+    hash order as :func:`shard_corpus`.  The global running offset is a
+    DISTRIBUTED PREFIX SUM: a within-shard cumulative window (each
+    shard is one partition's local scan) plus broadcast per-shard base
+    offsets — no global window, no single-reducer sort, so the layout
+    job scales by adding shards.  Returns (doc_id, n_tokens, bin_id,
+    bin_offset) — all integers, bit-stable across engines.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string")))
+    shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % n_shards).cast(
+        "int"
+    )
+    toks = df.select(
+        id_col,
+        F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
+        h.alias("h"),
+        shard.alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", id_col)
+    local = toks.withColumn(
+        "local_end", F.sum("n_tokens").over(w)
+    )  # within-shard running total (inclusive)
+    shard_totals = (
+        local.groupBy("shard")
+        .agg(F.max("local_end").alias("shard_total"))
+        .withColumn(
+            "shard_base",
+            F.coalesce(
+                F.sum("shard_total").over(
+                    Window.orderBy("shard").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("shard", "shard_base")
+    )  # n_shards rows — driver-scale metadata, broadcast below
+    return (
+        local.join(F.broadcast(shard_totals), "shard")
+        .withColumn("global_start", F.col("shard_base") + F.col("local_end") - F.col("n_tokens"))
+        .select(
+            id_col,
+            "n_tokens",
+            # integer `div`, not floor(x/y): double division loses
+            # exactness past 2^53 total tokens (a 100 TB corpus is ~10^13)
+            F.expr(f"global_start div {int(budget_tokens)}").alias("bin_id"),
+            (F.col("global_start") % budget_tokens).cast("bigint").alias("bin_offset"),
+        )
+    )

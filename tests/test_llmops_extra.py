@@ -1,0 +1,119 @@
+"""Round-4 LLM-data additions: C4-style span dedup, df/idf stats,
+bigram-LM perplexity scoring, token-budget sequence packing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scones.textops import (
+    doc_freq_stats,
+    lm_perplexity,
+    pack_sequences,
+    span_dedup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+def test_span_dedup_keeps_first_occurrence_only(spark):
+    """A span repeated across (or within) docs survives once, at its
+    lowest (doc_id, span_idx); docs reassemble from surviving spans in
+    order."""
+    span = " ".join(f"w{i}" for i in range(10))  # one exact 10-word span
+    other = " ".join(f"x{i}" for i in range(10))
+    df = _docs(
+        spark,
+        [
+            (1, span + " " + other),          # spans: [span, other] — both first
+            (2, span + " " + span),           # both copies duplicate doc 1's
+            (3, other + " tail words here"),  # span 0 dup; short tail span kept
+        ],
+    )
+    out = {r.doc_id: r for r in span_dedup(df, span_words=10).collect()}
+    assert out[1].clean_text == span + " " + other
+    assert (out[1].n_spans_kept, out[1].n_spans_dropped) == (2, 0)
+    assert out[2].clean_text == ""  # every span seen earlier
+    assert (out[2].n_spans_kept, out[2].n_spans_dropped) == (0, 2)
+    assert out[3].clean_text == "tail words here"
+    assert (out[3].n_spans_kept, out[3].n_spans_dropped) == (1, 1)
+
+
+def test_doc_freq_stats_df_and_idf(spark):
+    import math
+
+    df = _docs(
+        spark,
+        [
+            (1, "alpha beta alpha"),  # alpha counts ONCE per doc
+            (2, "alpha gamma"),
+            (3, "beta"),
+        ],
+    )
+    rows = {r.term: r for r in doc_freq_stats(df, top_n=10).collect()}
+    assert rows["alpha"].df == 2 and rows["beta"].df == 2
+    assert rows["gamma"].df == 1
+    assert rows["alpha"].idf == round(math.log(3 / 2), 6)
+    assert rows["gamma"].idf == round(math.log(3 / 1), 6)
+
+
+def test_lm_perplexity_outlier_scores_higher(spark):
+    """Docs made of the corpus's dominant bigrams score fewer bits than
+    a doc of one-off bigrams; docs with <2 tokens get 0 bits."""
+    common = "the cat sat on the mat"
+    df = _docs(
+        spark,
+        [(i, common) for i in range(10)]
+        + [(100, "zebra quark flux bogon")]  # bigrams seen exactly once
+        + [(101, "solo")],
+    )
+    out = {r.doc_id: r for r in lm_perplexity(df).collect()}
+    assert out[0].n_bigrams == 5
+    assert out[100].n_bigrams == 3
+    assert out[101].n_bigrams == 0 and out[101].bits_per_bigram == 0.0
+    assert out[100].bits_per_bigram > out[0].bits_per_bigram
+
+
+def test_pack_sequences_layout_invariants(spark):
+    """Concat-and-chunk layout: offsets < budget, the layout is a
+    permutation-free exact prefix sum (bin boundaries consistent with
+    token totals), and the result is deterministic and independent of
+    input partitioning (the distributed prefix sum == a global scan)."""
+    rows = [(i, " ".join(["tok"] * (5 + i % 17))) for i in range(200)]
+    df = _docs(spark, rows)
+    out = pack_sequences(df, budget_tokens=64, n_shards=8, seed=3)
+    got = {r.doc_id: r for r in out.collect()}
+    assert len(got) == 200
+    total = sum(5 + i % 17 for i in range(200))
+    # offsets in range; global starts = 0..total-ntok, each exactly once
+    starts = sorted(r.bin_id * 64 + r.bin_offset for r in got.values())
+    assert all(0 <= r.bin_offset < 64 for r in got.values())
+    assert starts[0] == 0
+    ends = sorted(r.bin_id * 64 + r.bin_offset + r.n_tokens for r in got.values())
+    assert ends[-1] == total  # contiguous stream, no gaps/overlaps
+    assert set(starts) == {0, *ends[:-1]}
+    # determinism + partitioning-independence
+    again = {
+        r.doc_id: r
+        for r in pack_sequences(
+            df.repartition(13), budget_tokens=64, n_shards=8, seed=3
+        ).collect()
+    }
+    assert {k: (v.bin_id, v.bin_offset) for k, v in got.items()} == {
+        k: (v.bin_id, v.bin_offset) for k, v in again.items()
+    }
+
+
+def test_pack_sequences_more_shards_same_order_scale_knob(spark):
+    """n_shards changes the layout (it is part of the order definition)
+    but every shard count yields a valid gap-free stream — the scale
+    knob is free to grow with the corpus."""
+    rows = [(i, " ".join(["t"] * 7)) for i in range(50)]
+    df = _docs(spark, rows)
+    for n_shards in (2, 16):
+        out = pack_sequences(df, budget_tokens=32, n_shards=n_shards, seed=1)
+        rs = out.collect()
+        ends = sorted(r.bin_id * 32 + r.bin_offset + r.n_tokens for r in rs)
+        assert ends[-1] == 350
+        starts = sorted(r.bin_id * 32 + r.bin_offset for r in rs)
+        assert set(starts) == {0, *ends[:-1]}
