@@ -342,10 +342,16 @@ def main() -> None:
     # scaling measurement nothing.
     from scones.session import get_spark
 
-    reset_host_memory()
-    spark = get_spark(master=f"local[{CPUS}]", app_name="scones-bench-queries")
-    qtimes = bench_queries(spark)
-    spark.stop()
+    if os.environ.get("SCONES_BENCH_SKIP_QUERIES"):
+        qtimes = {}  # flagship-only iteration runs; the recorded
+        # artifact always includes the query phase
+    else:
+        reset_host_memory()
+        spark = get_spark(
+            master=f"local[{CPUS}]", app_name="scones-bench-queries"
+        )
+        qtimes = bench_queries(spark)
+        spark.stop()
 
     # Three parallelism levels → two N→4N scaling pairs.  2→8 is the
     # bandwidth-unsaturated pair (the honest cluster-size proxy on this
@@ -364,15 +370,25 @@ def main() -> None:
     levels = [2, 8, CPUS]
     reset_host_memory()  # full reset once, before any JVM exists
     servers: dict[int, FlagshipServer] = {}
-    # runs=3 per cell, best-of: a warm JVM that sat idle while the other
+    # runs=4 per cell, best-of: a warm JVM that sat idle while the other
     # levels ran re-faults its pages on the first run (measured patterns
-    # like [9.3, 3.0, 3.0] s) — the first run re-warms, best-of measures
+    # like [9.3, 3.0, 3.0] s) — the first run re-warms, best-of measures.
+    # 4 (was 3 in r3): late-round-4 host decay produced passes where a
+    # single sustained stall poisoned all three runs of a cell; a fourth
+    # sample is cheap (~4 s/cell) and halves the chance a stall spans
+    # the whole cell.
+    cell_runs = int(os.environ.get("SCONES_BENCH_CELL_RUNS", "4"))
     for n in levels:  # sequential launch: one pre-touch fault storm at a time
-        servers[n] = FlagshipServer(f"local[{n}]", corpus_dir, meta_path, runs=3)
+        servers[n] = FlagshipServer(
+            f"local[{n}]", corpus_dir, meta_path, runs=cell_runs
+        )
     for n in levels:
         servers[n].run()  # warmup cell, discarded (JIT, python workers, cache)
     samples: dict[int, list[dict]] = {n: [] for n in levels}
-    n_passes = int(os.environ.get("SCONES_BENCH_PASSES", "6"))
+    # 8 passes (was 6): the median needs a majority of clean passes;
+    # with the host's multi-second stall events the extra two passes
+    # cost ~80 s and buy two more chances to outvote a poisoned pass.
+    n_passes = int(os.environ.get("SCONES_BENCH_PASSES", "8"))
 
     def run_cell(n: int) -> dict:
         """One (level, pass) measurement; if the level's server died
@@ -384,7 +400,7 @@ def main() -> None:
         except Exception:
             servers[n].close()
             servers[n] = FlagshipServer(
-                f"local[{n}]", corpus_dir, meta_path, runs=3
+                f"local[{n}]", corpus_dir, meta_path, runs=cell_runs
             )
             servers[n].run()  # warmup after relaunch, discarded
             return servers[n].run()

@@ -368,7 +368,12 @@ def dup_components(
         .select("u", F.least("u", "mn").alias("comp"))
         .localCheckpoint()
     )
-    cur = labels.agg(F.sum("comp")).first()[0]
+    # decimal accumulator: with 64-bit hash doc ids, a bigint Σcomp
+    # overflows under ANSI mode at production node counts
+    def label_sum(lab: DataFrame):
+        return lab.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    cur = label_sum(labels)
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -393,7 +398,7 @@ def dup_components(
             )
             .localCheckpoint()
         )
-        new = labels.agg(F.sum("comp")).first()[0]
+        new = label_sum(labels)
         if new == cur:
             break
         cur = new
@@ -454,8 +459,8 @@ def dup_components_star(
     def checksum(e: DataFrame) -> tuple:
         row = e.agg(
             F.count("*").alias("n"),
-            F.sum("u").alias("su"),
-            F.sum("v").alias("sv"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
             # decimal accumulator: a bigint sum of 64-bit hashes overflows
             # (ANSI mode raises); decimal(38,0) holds ~10^12 edges × 2^63
             F.sum(F.xxhash64("u", "v").cast("decimal(38,0)")).alias("sh"),
@@ -1011,19 +1016,25 @@ def pack_sequences(
     shard = (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % n_shards).cast(
         "int"
     )
+    # Materialize the narrow (id, n_tokens, h, shard) projection ONCE:
+    # both the layout window and the shard-totals aggregate read it, and
+    # without the checkpoint Catalyst re-derives each branch from the
+    # raw text column — two full corpus scans.  At production scale this
+    # projection (~32 B/doc) is exactly what a two-phase layout job
+    # persists before packing.
     toks = df.select(
         id_col,
         F.size(F.split(F.col(text_col), " ")).cast("bigint").alias("n_tokens"),
         h.alias("h"),
         shard.alias("shard"),
-    )
+    ).localCheckpoint()
     w = Window.partitionBy("shard").orderBy("h", id_col)
     local = toks.withColumn(
         "local_end", F.sum("n_tokens").over(w)
     )  # within-shard running total (inclusive)
     shard_totals = (
-        local.groupBy("shard")
-        .agg(F.max("local_end").alias("shard_total"))
+        toks.groupBy("shard")  # plain map-side-combinable agg, NOT the window
+        .agg(F.sum("n_tokens").alias("shard_total"))
         .withColumn(
             "shard_base",
             F.coalesce(

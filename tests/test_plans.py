@@ -189,3 +189,36 @@ def test_components_shuffles_ids_only(spark):
         assert all(
             f.dataType.simpleString() == "bigint" for f in out.schema.fields
         )
+
+
+def test_round4_ops_have_scale_safe_plans(spark):
+    """Round-4 operators: the plan properties that make them 100 TB-safe.
+
+    span_dedup: keep-first must be a partial-then-final aggregate (map-
+    side combinable min(struct)), NOT a window rank — a window over the
+    span key would sort every span group; and no cartesian anywhere.
+    lm_perplexity: bigram extraction is row-local — no self-join of the
+    token table (no CartesianProduct, no Window), model joins are hash
+    joins.
+    pack_sequences: the only windows are the per-shard prefix sum and
+    the n_shards-row base-offset scan — no window partitioned by a
+    constant over the full corpus; shard bases reach the big side as a
+    broadcast join.
+    """
+    qs = entrymod.queries()
+
+    sd = _plan(qs["span_dedup"](spark, SF_DIR))
+    assert "Window" not in sd
+    assert "CartesianProduct" not in sd
+    assert "partial_min" in sd or "partial" in sd  # map-side combine
+
+    lm = _plan(qs["lm_perplexity"](spark, SF_DIR))
+    assert "CartesianProduct" not in lm
+    assert "Window" not in lm
+
+    ps_df = qs["pack_sequences"](spark, SF_DIR)
+    ps = _plan(ps_df)
+    assert "CartesianProduct" not in ps
+    assert "BroadcastHashJoin" in ps or "BroadcastExchange" in ps
+    # exactly two Window nodes: per-shard cumsum + tiny shard-base scan
+    assert ps.count("Window") == 2
