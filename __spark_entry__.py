@@ -807,6 +807,54 @@ def _pack_oracle_sql(budget: int, n_shards: int, seed: int) -> str:
     """
 
 
+# Pre-dedup text normalization: lower, control-strip, whitespace
+# collapse, trim — Java-and-RE2-compatible patterns so the oracle
+# replays them verbatim; row-local, zero exchanges.
+@_q(
+    "normalize_text",
+    r"""
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               regexp_replace(lower(text),
+                 '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+               '[ \t\n\r]+', ' ', 'g')) AS norm_text
+      FROM documents
+    )
+    SELECT doc_id, norm_text, CAST(length(norm_text) AS INT) AS n_chars_norm
+    FROM n
+    """,
+)
+def normalize_text(spark, sf_dir):
+    from scones.textops import normalize_text as nt
+
+    return nt(_t(spark, sf_dir, "documents"))
+
+
+def _source_quota_oracle_sql(max_per: int, seed: int) -> str:
+    return f"""
+    WITH hashed AS (
+      SELECT doc_id, source,
+             md5('{seed}' || '|' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rnk
+      FROM hashed
+    )
+    SELECT doc_id, source FROM ranked WHERE rnk <= {max_per}
+    """
+
+
+# Per-source quota cap (domain caps in crawl pipelines): keep at most K
+# docs per source by deterministic hash order.
+@_q("source_quota", _source_quota_oracle_sql(10, 5))
+def source_quota(spark, sf_dir):
+    from scones.textops import source_quota as sq
+
+    return sq(_t(spark, sf_dir, "documents"), max_per_source=10, seed=5)
+
+
 # Token-budget sequence packing (concat-and-chunk pretraining layout):
 # deterministic hash order, distributed prefix sum (within-shard window
 # + broadcast shard bases — no global window), integer outputs.  The

@@ -110,6 +110,8 @@ BENCH_QUERIES = [
     "doc_freq_stats",
     "lm_perplexity",
     "pack_sequences",
+    "normalize_text",
+    "source_quota",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary

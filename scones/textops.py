@@ -1060,3 +1060,63 @@ def pack_sequences(
             (F.col("global_start") % budget_tokens).cast("bigint").alias("bin_offset"),
         )
     )
+
+
+def normalize_text(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic text normalization — the stage that runs BEFORE any
+    exact/near dedup so trivially-different byte forms hash together:
+    lower-case, strip ASCII control characters, collapse whitespace runs
+    to single spaces, trim.  Entirely JVM regexp/codegen (the patterns
+    are RE2-and-Java-compatible, so the DuckDB oracle replays them
+    verbatim); row-local, zero exchanges.
+
+    (Unicode NFC normalization belongs here too, but Spark exposes no
+    built-in for it — doing it in Python would put a per-row crossing in
+    the hottest path.  On a real deployment it rides the extraction
+    kernel's Arrow pass; documented rather than faked.)
+    """
+    t = F.lower(F.col(text_col))
+    t = F.regexp_replace(t, "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]", "")
+    t = F.regexp_replace(t, "[ \\t\\n\\r]+", " ")
+    t = F.trim(t)
+    return df.select(
+        id_col,
+        t.alias("norm_text"),
+        F.length(t).alias("n_chars_norm"),
+    )
+
+
+def source_quota(
+    df: DataFrame,
+    max_per_source: int = 10,
+    seed: int = 0,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source document quota: keep at most ``max_per_source`` docs
+    from each source, chosen by deterministic hash order (md5(seed|id))
+    — the domain-cap step crawl pipelines use so one giant host cannot
+    dominate the training mix (the corpus-level analogue of the hot-host
+    salting the enrich path does for compute).
+
+    Scale shape: one window rank per source partition.  Source
+    cardinality is bounded (domains, not documents) and AQE splits a
+    skewed source's sort; the rank is the standard top-K-per-group plan.
+    For pathological single-source corpora, pre-filter with an
+    approximate per-source count and a hash threshold before ranking —
+    the hash-gate trick sample_mixture uses.
+    """
+    from pyspark.sql import Window
+
+    h = F.md5(F.concat(F.lit(str(seed)), F.lit("|"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(source_col).orderBy("h", id_col)
+    return (
+        df.select(id_col, source_col, h.alias("h"))
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= max_per_source)
+        .select(id_col, source_col)
+    )

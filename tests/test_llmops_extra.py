@@ -74,6 +74,42 @@ def test_lm_perplexity_outlier_scores_higher(spark):
     assert out[100].bits_per_bigram > out[0].bits_per_bigram
 
 
+def test_normalize_text_semantics(spark):
+    from scones.textops import normalize_text
+
+    df = _docs(
+        spark,
+        [
+            (1, "  Hello\t WORLD\r\n  x\x01y  "),
+            (2, "MiXeD   Case"),
+        ],
+    )
+    out = {r.doc_id: r for r in normalize_text(df).collect()}
+    assert out[1].norm_text == "hello world xy"
+    assert out[1].n_chars_norm == len("hello world xy")
+    assert out[2].norm_text == "mixed case"
+
+
+def test_source_quota_caps_per_source_deterministically(spark):
+    from scones.textops import source_quota
+
+    rows = [(i, "a" if i < 30 else "b") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id bigint, source string")
+    kept = source_quota(df, max_per_source=5, seed=1).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert len(by_src["a"]) == 5  # capped
+    assert len(by_src["b"]) == 5  # 10 docs → capped to 5
+    again = {
+        (r.doc_id, r.source)
+        for r in source_quota(
+            df.repartition(7), max_per_source=5, seed=1
+        ).collect()
+    }
+    assert again == {(r.doc_id, r.source) for r in kept}  # deterministic
+
+
 def test_pack_sequences_layout_invariants(spark):
     """Concat-and-chunk layout: offsets < budget, the layout is a
     permutation-free exact prefix sum (bin boundaries consistent with
