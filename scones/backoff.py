@@ -169,8 +169,17 @@ def run_daemon(
         except SnapshotTimeout as exc:
             # hung session: kill + relaunch (the bench harness's 900 s
             # FlagshipServer treatment, applied to the production loop),
-            # then retry the snapshot under the usual backoff
-            spark = session_factory(spark)
+            # then retry the snapshot under the usual backoff.  A FAILED
+            # relaunch (transient OOM during the 12 GB pre-touch, port
+            # exhaustion) must not kill the supervisor — keep the old
+            # handle; the next attempt will time out again and the
+            # relaunch retries under the same backoff, forever, like
+            # everything else in this loop.
+            relaunch_err = None
+            try:
+                spark = session_factory(spark)
+            except Exception as factory_exc:
+                relaunch_err = repr(factory_exc)
             delay = retry.next()
             if on_event is not None:
                 on_event(
@@ -178,6 +187,11 @@ def run_daemon(
                         "event": "watchdog_restart",
                         "delay_sec": delay,
                         "error": repr(exc),
+                        **(
+                            {"relaunch_error": relaunch_err}
+                            if relaunch_err
+                            else {}
+                        ),
                     }
                 )
             sleep_fn(delay)

@@ -110,14 +110,28 @@ class LineageStore:
         per snapshot): at 10^7 input files this is ~hundreds of MB, so
         reads are column-projected; beyond that the store would be an
         Iceberg/Delta table and these scans become metadata queries —
-        the thin interface here is the swap point."""
-        files = self._files()
-        if not files:
-            t = LINEAGE_SCHEMA.empty_table()
-            return t.select(columns) if columns else t
-        return pa.concat_tables(
-            [pq.read_table(f, columns=columns) for f in files]
-        )
+        the thin interface here is the swap point.
+
+        Tolerates racing a concurrent :meth:`compact_manifest`: the fold
+        publishes its base atomically and THEN deletes the files it
+        shadowed, so a reader whose listing predates the fold can hit a
+        just-deleted loose file (e.g. the stats HTTP thread polling while
+        the daemon commits).  Re-listing after the publish sees a
+        consistent view — retry, bounded.
+        """
+        for attempt in range(3):
+            files = self._files()
+            if not files:
+                t = LINEAGE_SCHEMA.empty_table()
+                return t.select(columns) if columns else t
+            try:
+                return pa.concat_tables(
+                    [pq.read_table(f, columns=columns) for f in files]
+                )
+            except FileNotFoundError:
+                if attempt == 2:
+                    raise
+        raise AssertionError("unreachable")
 
     def committed_snapshots(self) -> list[int]:
         t = self.read_all(columns=["snapshot_id"])
@@ -156,6 +170,14 @@ class LineageStore:
         readers the moment the rename lands, and physically removed here
         or on the next call.
         """
+        # crash debris: a commit/fold that died before its atomic rename
+        # leaves a .tmp-<uuid> file no reader ever sees; reap them here
+        # (commit() is single-writer, so any tmp present now is dead)
+        for stale in globmod.glob(os.path.join(self.dir, "*.parquet.tmp-*")):
+            try:
+                os.remove(stale)
+            except OSError:
+                pass
         files_before = self._files()
         table = self.read_all()
         if table.num_rows == 0 and not files_before:

@@ -37,6 +37,18 @@ def _dir_stats(snap_dir: str) -> tuple[int, int]:
     return total, count
 
 
+def _dir_rows(snap_dir: str) -> int:
+    """Exact row count from parquet footers — metadata only, no Spark job."""
+    import pyarrow.parquet as pq
+
+    n = 0
+    for root, _, fnames in os.walk(snap_dir):
+        for f in fnames:
+            if f.endswith(".parquet"):
+                n += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
+    return n
+
+
 def compact_snapshot(
     spark: SparkSession,
     output_dir: str,
@@ -60,23 +72,39 @@ def compact_snapshot(
     snap = os.path.join(output_dir, f"snapshot_id={snapshot_id}")
     tmp = snap + ".compacting"
     old = snap + ".old"
+    # Crash recovery BEFORE debris cleanup: a death between the two swap
+    # renames leaves old/ (the original) but no snap/ — old and tmp are
+    # then the only copies of committed data, and blind cleanup would
+    # delete both (round-4 review finding).  Restore the original first;
+    # the interrupted rewrite is discarded and simply redone.
+    if os.path.isdir(old) and not os.path.isdir(snap):
+        os.rename(old, snap)
     for stale in (tmp, old):  # crash debris from a prior attempt
         shutil.rmtree(stale, ignore_errors=True)
 
     total, files_before = _dir_stats(snap)
-    rows_before = spark.read.parquet(snap).count()
+    rows_before = _dir_rows(snap)
 
     os.makedirs(tmp, exist_ok=True)  # an all-empty snapshot still swaps
-    rows_after = 0
-    for sink_dir in sorted(globmod.glob(os.path.join(snap, "sink_id=*"))):
+    sink_dirs = sorted(globmod.glob(os.path.join(snap, "sink_id=*")))
+
+    def rewrite_sink(sink_dir: str) -> None:
         sink_name = os.path.basename(sink_dir)
         sink_bytes, _ = _dir_stats(sink_dir)
         k = max(1, math.ceil(sink_bytes / max(target_bytes, 1)))
-        sdf = spark.read.parquet(sink_dir)
-        sdf.repartition(k).write.mode("overwrite").parquet(
-            os.path.join(tmp, sink_name)
-        )
-        rows_after += spark.read.parquet(os.path.join(tmp, sink_name)).count()
+        spark.read.parquet(sink_dir).repartition(k).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(tmp, sink_name))
+
+    # Per-sink jobs submitted CONCURRENTLY (Spark's scheduler interleaves
+    # them) so many-sink snapshots are not serialized into n_sinks
+    # sequential job waves; the row-count audit reads parquet footers —
+    # no Spark job at all (round-4 review finding).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(8, max(1, len(sink_dirs)))) as ex:
+        list(ex.map(rewrite_sink, sink_dirs))
+    rows_after = _dir_rows(tmp)
     if rows_after != rows_before:
         shutil.rmtree(tmp, ignore_errors=True)
         raise RuntimeError(

@@ -360,28 +360,35 @@ def run_from_config(
                     "url": f"http://127.0.0.1:{srv.port}/",
                 }
             )
-    run_fn = snapshot_fn_for_mode(cfg.mode)
-    if cfg.daemon:
-        from .backoff import run_daemon
+    try:
+        run_fn = snapshot_fn_for_mode(cfg.mode)
+        if cfg.daemon:
+            from .backoff import run_daemon
 
-        kwargs = {} if sleep_fn is None else {"sleep_fn": sleep_fn}
-        summaries = run_daemon(
-            spark,
-            cfg,
-            run_fn=run_fn,
-            retry_min_sec=cfg.retry_min_sec,
-            retry_max_sec=cfg.retry_max_sec,
-            poll_min_sec=cfg.poll_min_sec,
-            poll_max_sec=cfg.poll_max_sec,
-            snapshot_timeout_sec=cfg.snapshot_timeout_sec,
-            stop_event=stop_event,
-            on_event=on_event,
-            max_snapshots=max_snapshots,
-            max_iterations=max_iterations,
-            **kwargs,
-        )
-    else:
-        summaries = [run_fn(spark, cfg)]
+            kwargs = {} if sleep_fn is None else {"sleep_fn": sleep_fn}
+            summaries = run_daemon(
+                spark,
+                cfg,
+                run_fn=run_fn,
+                retry_min_sec=cfg.retry_min_sec,
+                retry_max_sec=cfg.retry_max_sec,
+                poll_min_sec=cfg.poll_min_sec,
+                poll_max_sec=cfg.poll_max_sec,
+                snapshot_timeout_sec=cfg.snapshot_timeout_sec,
+                stop_event=stop_event,
+                on_event=on_event,
+                max_snapshots=max_snapshots,
+                max_iterations=max_iterations,
+                **kwargs,
+            )
+        else:
+            summaries = [run_fn(spark, cfg)]
+    except BaseException:
+        # don't leak the listener thread + bound port to callers that
+        # never receive the handle (library/test invocations)
+        if srv is not None:
+            srv.stop()
+        raise
     return summaries, srv
 
 

@@ -116,7 +116,10 @@ class FooterCache:
 
     def prune(self, live_paths: set[str]) -> None:
         for gone in set(self._rows) - live_paths:
-            del self._rows[gone]
+            # pop, not del: ThreadingHTTPServer handles requests on
+            # concurrent threads sharing this cache, and two pollers may
+            # race to prune the same vanished path
+            self._rows.pop(gone, None)
 
 
 def sink_stats(output_dir: str, cache: FooterCache | None = None) -> dict[str, dict]:

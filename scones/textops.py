@@ -470,7 +470,11 @@ def dup_components_star(
     prev = checksum(edges)
     rounds = 0
     converged = False
-    for _ in range(max_iter):
+    # max_iter + 1: equality of consecutive checksums is only observable
+    # the round AFTER the fixed point is reached, so a graph needing
+    # exactly max_iter productive rounds still gets its confirming round
+    # (round-4 review finding: it previously raised despite converging)
+    for _ in range(max_iter + 1):
         rounds += 1
         # large-star: for every neighbor v > u, emit (v, min(N(u) ∪ {u}))
         sym = edges.union(

@@ -187,9 +187,15 @@ def test_manifest_compaction_crash_between_publish_and_cleanup(tmp_path):
     # readers see each row exactly once despite the duplicates on disk
     assert store.read_all().num_rows == 5
     assert store.committed_snapshots() == [1, 2, 3, 4, 5]
+    # dead pre-publish tmp files (crash before the atomic rename) are
+    # reaped by the next fold too
+    (tmp_path / "ckpt" / "lineage" / "snapshot_000000000009.parquet.tmp-dead").write_bytes(b"x")
     res = store.compact_manifest()  # next fold cleans the debris
     assert len(store._loose_files()) == 0
     assert res["rows"] == 5
+    import glob as globmod
+
+    assert not globmod.glob(str(tmp_path / "ckpt" / "lineage" / "*.tmp-*"))
 
 
 def test_manifest_compaction_end_to_end_resume_and_time_travel(spark, tmp_path):

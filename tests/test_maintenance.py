@@ -87,6 +87,27 @@ def test_compact_cleans_stale_attempt_dirs(spark, tmp_path):
     assert res["rows"] == 120
 
 
+def test_compact_recovers_crash_between_swap_renames(spark, tmp_path):
+    """Death between rename(snap→old) and rename(tmp→snap) leaves the
+    ONLY copies of committed data in old/ and .compacting/.  The next
+    compaction must restore the original before cleaning debris — blind
+    cleanup would delete both copies (round-4 review finding)."""
+    import shutil
+
+    cfg, s = _snapshot(spark, tmp_path, spread=2)
+    snap = os.path.join(cfg.output_dir, "snapshot_id=1")
+    # simulate the mid-swap crash state
+    shutil.copytree(snap, snap + ".compacting")
+    os.rename(snap, snap + ".old")
+    assert not os.path.exists(snap)
+
+    res = compact_snapshot(spark, cfg.output_dir, 1)
+    assert res["rows"] == s["rows"] == 120
+    assert not os.path.exists(snap + ".old")
+    assert not os.path.exists(snap + ".compacting")
+    assert spark.read.parquet(snap).count() == 120
+
+
 def test_flagship_server_read_timeout_kills_hung_proc():
     """bench harness: a server that produces no output within the read
     timeout is killed and reported dead (round-3 incident: a hung JVM
