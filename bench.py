@@ -10,10 +10,18 @@ Measures:
   2. per-query wall time for the headline queries() entries on the
      $SPARK_GRAFT_SF_DIR tables (fully materialized via the noop sink).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": docs/sec at full parallelism, "unit": "sec",
-   "queries": {name: sec}, "sf": ..., "gb_per_sec": ..., "docs_per_sec_8":
-   ..., "docs_per_sec_full": ..., "scaling_efficiency": ...}
+Output contract (round-4 verdict item 1: the r4 artifact was lost
+because one giant summary line with 66 per-query timings overflowed the
+driver's stdout tail window):
+
+  * each per-query timing is printed as its OWN small JSON line
+    ({"bench_query": name, "sec": t}) the moment it is measured;
+  * the full per-query map is written to ``BENCH_QUERIES.json`` at the
+    repo root (the durable record);
+  * the LAST stdout line is a compact fixed-schema summary (< ~1 KB):
+    {"metric": ..., "value": ..., "unit": "sec", "queries": {headline
+    subset only}, "queries_file": "BENCH_QUERIES.json", "n_queries": N,
+    "suspect_rows": [...], "sf": ..., throughput + scaling fields}.
 """
 
 from __future__ import annotations
@@ -304,7 +312,7 @@ def run_cpu_probe(master: str, corpus_dir: str, runs: int = 4) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def bench_queries(spark) -> dict[str, float]:
+def bench_queries(spark) -> tuple[dict[str, float], list[str]]:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
@@ -319,13 +327,34 @@ def bench_queries(spark) -> dict[str, float]:
         t0 = time.perf_counter()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[key] = round(time.perf_counter() - t0, 4)
+        print(json.dumps({"bench_query": key, "sec": times[key]}), flush=True)
 
     for name in BENCH_QUERIES:
         timed(name, SF_DIR, name)
     zipf_dir = ensure_zipf_corpus()
     for name in ZIPF_BENCH_QUERIES:
         timed(name, zipf_dir, f"{name}@zipf")
-    return times
+
+    # Internal consistency guard (round-4 verdict item 2): the Zipf corpus
+    # carries ~40× the text bytes of the sf documents table at equal row
+    # count, so an sf row SLOWER than its @zipf row is physically
+    # implausible — the signature of a multi-second host stall poisoning
+    # the cell (seen in r4: minhash_signatures 20.1 s sf vs 11.2 s zipf on
+    # unchanged code).  Re-measure such rows once (stalls are transient);
+    # rows still implausible after the retry are flagged in the artifact
+    # so a poisoned cell reads as SUSPECT, not as a code regression.
+    suspects: list[str] = []
+    for name in ZIPF_BENCH_QUERIES:
+        zk = f"{name}@zipf"
+        if name in times and zk in times and times[name] > times[zk]:
+            first = times[name]
+            timed(name, SF_DIR, name)
+            times[name] = min(first, times[name])
+            if times[name] > times[zk]:
+                suspects.append(name)
+    if suspects:
+        print(json.dumps({"suspect_rows": suspects}), flush=True)
+    return times, suspects
 
 
 def main() -> None:
@@ -345,14 +374,14 @@ def main() -> None:
     from scones.session import get_spark
 
     if os.environ.get("SCONES_BENCH_SKIP_QUERIES"):
-        qtimes = {}  # flagship-only iteration runs; the recorded
-        # artifact always includes the query phase
+        qtimes, suspects = {}, []  # flagship-only iteration runs; the
+        # recorded artifact always includes the query phase
     else:
         reset_host_memory()
         spark = get_spark(
             master=f"local[{CPUS}]", app_name="scones-bench-queries"
         )
-        qtimes = bench_queries(spark)
+        qtimes, suspects = bench_queries(spark)
         spark.stop()
 
     # Three parallelism levels → two N→4N scaling pairs.  2→8 is the
@@ -452,13 +481,34 @@ def main() -> None:
     cpu_eff = (cpu8["best_sec"] / cpu_full["best_sec"]) / (CPUS / 8)
 
     gb = full["payload_bytes"] / 1e9
+    # Durable per-query record: a file, not the summary line (round-4
+    # verdict item 1 — the driver's stdout tail window is finite).
+    with open(os.path.join(REPO, "BENCH_QUERIES.json"), "w") as f:
+        json.dump(
+            {"sf": _SF, "queries": qtimes, "suspect_rows": suspects}, f, indent=1
+        )
+    # The final line keeps a "queries" dict per the driver contract, but
+    # only a fixed HEADLINE subset so the line stays < ~1 KB no matter
+    # how many operators the suite grows to.
+    headline = [
+        "tpch_q1",
+        "route_counts",
+        "lang_id",
+        "dedup_exact",
+        "minhash_signatures",
+        "clean_corpus@zipf",
+        "embedding_near_dup",
+    ]
     print(
         json.dumps(
             {
                 "metric": "end-to-end parse→enrich→route→aggregate throughput",
                 "value": round(full["elapsed_sec"], 3),
                 "unit": "sec",
-                "queries": qtimes,
+                "queries": {k: qtimes[k] for k in headline if k in qtimes},
+                "queries_file": "BENCH_QUERIES.json",
+                "n_queries": len(qtimes),
+                "suspect_rows": suspects,
                 "sf": _SF,
                 "corpus_docs": full["rows"],
                 "docs_per_sec_2": round(two["docs_per_sec"], 1),
