@@ -748,8 +748,10 @@ def doc_freq_stats(spark, sf_dir):
 
 # CCNet-style LM quality score: add-one-smoothed bigram model trained on
 # the corpus itself, per-doc average bigram cross-entropy (bits).  The
-# oracle replays the identical model and score; bits rounded to 4 so the
-# (order-insensitive to ~1e-13) float sums hash identically.
+# oracle replays the identical model and score; per-bigram nll is rounded
+# to 9 places and summed EXACTLY as decimal in both engines, so the
+# per-doc aggregate is order-insensitive before the final round to 4
+# (round-4 ADVICE: a double AVG near a .00005 boundary could flip).
 @_q(
     "lm_perplexity",
     """
@@ -771,7 +773,9 @@ def doc_freq_stats(spark, sf_dir):
     SELECT d.doc_id, COALESCE(s.n, 0) AS n_bigrams,
            COALESCE(s.b, 0.0) AS bits_per_bigram
     FROM documents d LEFT JOIN (
-      SELECT doc_id, COUNT(*) AS n, ROUND(AVG(nll), 4) AS b
+      SELECT doc_id, COUNT(*) AS n,
+             ROUND(CAST(SUM(CAST(ROUND(nll, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                   / COUNT(*), 4) AS b
       FROM scored GROUP BY doc_id
     ) s ON d.doc_id = s.doc_id
     """,

@@ -67,9 +67,12 @@ def _attempt_with_timeout(run_fn, spark, cfg, timeout_sec: float) -> dict:
     is raised for the caller to tear the session down.
 
     If the abandoned attempt later wakes up it either dies on the
-    stopped session or commits the SAME snapshot_id the retry commits —
-    both snapshot output and the lineage publish are idempotent
-    same-content overwrites, so effectively-once holds either way.
+    stopped session or reaches its lineage commit — where it is FENCED
+    OUT: the retry's run fenced a newer attempt epoch
+    (LineageStore.fence_attempt), so the stale commit raises
+    StaleAttemptError instead of overwriting the retry's manifest with
+    its smaller planned-file set (which would have re-admitted the
+    difference as duplicates).  Effectively-once holds either way.
     """
     result: list = []
     error: list = []

@@ -29,12 +29,36 @@ from __future__ import annotations
 
 import glob as globmod
 import os
+import threading
+import time
 import uuid
 
 import pyarrow as pa
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Attempt fencing for the watchdog path (round-4 ADVICE, medium): the
+# daemon ABANDONS a hung snapshot attempt (backoff.py), but that thread
+# lives in THIS process and its lineage commit is pure driver-side
+# Python — it can wake after the retry already committed the same
+# snapshot_id with a larger planned-file set, and an unfenced os.replace
+# would overwrite the retry's manifest with the stale smaller one
+# (files silently re-admitted → duplicates).  Every snapshot attempt
+# bumps a per-lineage-dir epoch (fence_attempt); commit() publishes
+# under the same lock only if its attempt is still the newest.  The
+# Iceberg swap inherits this for free (optimistic-concurrency commits).
+_ATTEMPT_EPOCHS: dict[str, int] = {}
+_EPOCH_LOCK = threading.Lock()
+
+#: tmp-file debris younger than this is NOT reaped by compact_manifest —
+#: it may belong to a slow in-flight commit (e.g. the watchdog's
+#: abandoned attempt racing the retry; round-4 ADVICE, low).
+TMP_REAP_GRACE_SEC = 300.0
+
+
+class StaleAttemptError(RuntimeError):
+    """A fenced-out (abandoned/superseded) attempt tried to commit."""
 
 def normalize_path(p: str) -> str:
     """``file:///x`` URIs (from ``_metadata.file_path``) → plain ``/x``."""
@@ -83,7 +107,20 @@ class LineageStore:
         self.compact_threshold = (
             self.COMPACT_THRESHOLD if compact_threshold is None else compact_threshold
         )
+        self._epoch: int | None = None  # set by fence_attempt()
         os.makedirs(self.dir, exist_ok=True)
+
+    def fence_attempt(self) -> int:
+        """Register this store as the NEWEST snapshot attempt for its
+        lineage dir; any previously-fenced store for the same dir (an
+        abandoned watchdog attempt) gets :class:`StaleAttemptError` from
+        its next :meth:`commit`.  Stores that never fence (read-only
+        pollers like the stats server, direct test harnesses) are
+        unaffected."""
+        with _EPOCH_LOCK:
+            _ATTEMPT_EPOCHS[self.dir] = _ATTEMPT_EPOCHS.get(self.dir, 0) + 1
+            self._epoch = _ATTEMPT_EPOCHS[self.dir]
+        return self._epoch
 
     @staticmethod
     def _id_of(path: str) -> int:
@@ -148,12 +185,34 @@ class LineageStore:
 
     def commit(self, snapshot_id: int, rows: list[dict]) -> str:
         """Publish lineage rows atomically (tmp file + rename = the ACK);
-        auto-fold the manifest once enough loose files accumulate."""
+        auto-fold the manifest once enough loose files accumulate.
+
+        The publish is FENCED: under the epoch lock it refuses both a
+        stale attempt (a newer :meth:`fence_attempt` happened — the
+        watchdog relaunched and the abandoned thread woke late) and an
+        overwrite of an already-published ``snapshot_NNN.parquet`` (a
+        manifest, once published, is immutable — the retry that owns the
+        id committed first).  Either refusal raises
+        :class:`StaleAttemptError`; the loser's tmp file is removed."""
         table = pa.Table.from_pylist(rows, schema=LINEAGE_SCHEMA)
         final = os.path.join(self.dir, f"snapshot_{snapshot_id:012d}.parquet")
         tmp = final + f".tmp-{uuid.uuid4().hex}"
         pq.write_table(table, tmp, compression="zstd")
-        os.replace(tmp, final)
+        with _EPOCH_LOCK:
+            stale = (
+                self._epoch is not None
+                and _ATTEMPT_EPOCHS.get(self.dir) != self._epoch
+            )
+            if stale or os.path.exists(final):
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                why = "superseded attempt" if stale else "already published"
+                raise StaleAttemptError(
+                    f"refusing commit of snapshot {snapshot_id}: {why}"
+                )
+            os.replace(tmp, final)
         if (
             self.compact_threshold > 0
             and len(self._loose_files()) >= self.compact_threshold
@@ -171,11 +230,16 @@ class LineageStore:
         or on the next call.
         """
         # crash debris: a commit/fold that died before its atomic rename
-        # leaves a .tmp-<uuid> file no reader ever sees; reap them here
-        # (commit() is single-writer, so any tmp present now is dead)
+        # leaves a .tmp-<uuid> file no reader ever sees; reap only files
+        # older than a grace window — a YOUNG tmp may be a slow in-flight
+        # commit (the watchdog's abandoned attempt is a possible second
+        # writer; reaping its tmp mid-write turns a clean fence refusal
+        # into an avoidable FileNotFoundError).
+        cutoff = time.time() - TMP_REAP_GRACE_SEC
         for stale in globmod.glob(os.path.join(self.dir, "*.parquet.tmp-*")):
             try:
-                os.remove(stale)
+                if os.path.getmtime(stale) < cutoff:
+                    os.remove(stale)
             except OSError:
                 pass
         files_before = self._files()

@@ -123,6 +123,7 @@ def run_snapshot(
 
     t_start = _time.perf_counter()
     store = LineageStore(cfg.checkpoint_dir)
+    store.fence_attempt()  # fence out any abandoned watchdog attempt
     files = plan_new_files(store, cfg.input_glob)
     if not files:
         return {"snapshot_id": None, "files": [], "rows": 0}
@@ -243,6 +244,7 @@ def _run_docs_snapshot(
 
     t_start = _time.perf_counter()
     store = LineageStore(cfg.checkpoint_dir)
+    store.fence_attempt()  # fence out any abandoned watchdog attempt
     files = plan_new_files(store, cfg.input_glob)
     if not files:
         return {"snapshot_id": None, "files": [], "rows": 0}
@@ -411,11 +413,13 @@ def main() -> None:  # pragma: no cover — spark-submit entry point
     )
     p.add_argument(
         "--daemon",
-        action="store_true",
+        action=argparse.BooleanOptionalAction,
         default=None,
         help="run forever: retry failed snapshots with exponential "
         "backoff, back off idle polls, drain cleanly on SIGTERM/SIGINT "
-        "(the reference's supervisor loop, supervisor.go:94-231)",
+        "(the reference's supervisor loop, supervisor.go:94-231); "
+        "--no-daemon overrides a config that sets daemon: true — the "
+        "override is symmetric like --mode/--stats-port",
     )
     p.add_argument(
         "--stats-port",

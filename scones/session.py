@@ -135,10 +135,29 @@ def rebuild_session(old: SparkSession | None, **get_spark_kwargs) -> SparkSessio
                     proc.kill()
                 except Exception:
                     pass
-    # clear the process-global singletons so the next builder relaunches
-    SparkContext._gateway = None
-    SparkContext._jvm = None
-    SparkContext._active_spark_context = None
-    _SS._instantiatedSession = None
+    # Clear the process-global singletons so the next builder relaunches.
+    # Hold SparkContext._lock while resetting (round-4 ADVICE): the
+    # abandoned attempt thread may still be mid-py4j-call against these
+    # objects, and pyspark's own builder takes the same lock — an
+    # unlocked reset could interleave with a concurrent getOrCreate.
+    # Every attribute is internals (version-fragile), so degrade to a
+    # clean failure on a renamed one rather than a half-reset state.
+    import contextlib
+
+    lock = getattr(SparkContext, "_lock", None)
+    with lock if lock is not None else contextlib.nullcontext():
+        for klass, attr in (
+            (SparkContext, "_gateway"),
+            (SparkContext, "_jvm"),
+            (SparkContext, "_active_spark_context"),
+            (_SS, "_instantiatedSession"),
+        ):
+            if not hasattr(klass, attr):
+                raise RuntimeError(
+                    f"pyspark internals changed: {klass.__name__}.{attr} "
+                    "missing — rebuild_session needs updating for this "
+                    "pyspark version"
+                )
+            setattr(klass, attr, None)
     get_spark_kwargs.setdefault("master", master)
     return get_spark(**get_spark_kwargs)

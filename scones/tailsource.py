@@ -237,6 +237,7 @@ def run_tail_snapshot(
     of content+provenance — deterministic under retries, unlike the
     reference's competing-consumer chunk pickup."""
     store = LineageStore(checkpoint_dir)
+    store.fence_attempt()  # fence out any abandoned watchdog attempt
     work = plan_tail_work(store, input_glob)
     if not work:
         return {"snapshot_id": None, "lines": 0}

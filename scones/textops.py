@@ -973,12 +973,22 @@ def lm_perplexity(
             ),
         )
     )
+    # Order-insensitive per-doc aggregate (round-4 ADVICE): a plain
+    # AVG(double) sums in partition order, and a value sitting near a
+    # .00005 boundary of the final round(…, 4) could flip the oracle
+    # gate nondeterministically.  Pre-round each bigram's nll to 9
+    # places (absorbing engine log() ulp noise), sum EXACTLY as
+    # decimal (commutative — any partition order yields the same
+    # digits in Spark and DuckDB), then divide and round once.
+    nll_sum = F.sum(F.round(F.col("nll"), 9).cast("decimal(28,9)"))
     return (
         df.select(id_col)
         .join(
             scored.groupBy(id_col).agg(
                 F.count("*").alias("n_bigrams"),
-                F.round(F.avg("nll"), 4).alias("bits_per_bigram"),
+                F.round(
+                    nll_sum.cast("double") / F.count("*"), 4
+                ).alias("bits_per_bigram"),
             ),
             id_col,
             "left",

@@ -188,14 +188,71 @@ def test_manifest_compaction_crash_between_publish_and_cleanup(tmp_path):
     assert store.read_all().num_rows == 5
     assert store.committed_snapshots() == [1, 2, 3, 4, 5]
     # dead pre-publish tmp files (crash before the atomic rename) are
-    # reaped by the next fold too
-    (tmp_path / "ckpt" / "lineage" / "snapshot_000000000009.parquet.tmp-dead").write_bytes(b"x")
-    res = store.compact_manifest()  # next fold cleans the debris
+    # reaped by the next fold too — but only once they age past the
+    # grace window (a YOUNG tmp may be a slow in-flight commit from the
+    # watchdog's abandoned attempt; round-4 ADVICE)
+    import time as _time
+
+    from scones.lineage import TMP_REAP_GRACE_SEC
+
+    dead = tmp_path / "ckpt" / "lineage" / "snapshot_000000000009.parquet.tmp-dead"
+    dead.write_bytes(b"x")
+    store.compact_manifest()
+    assert dead.exists()  # young tmp: spared (possible in-flight commit)
+    old = _time.time() - TMP_REAP_GRACE_SEC - 10
+    os.utime(dead, (old, old))
+    res = store.compact_manifest()  # aged past grace: reaped
     assert len(store._loose_files()) == 0
     assert res["rows"] == 5
     import glob as globmod
 
     assert not globmod.glob(str(tmp_path / "ckpt" / "lineage" / "*.tmp-*"))
+
+
+def test_commit_fencing_refuses_stale_attempt(tmp_path):
+    """The watchdog race (round-4 ADVICE, medium): an abandoned attempt
+    that wakes AFTER the retry committed the same snapshot id must not
+    overwrite the retry's manifest with its smaller planned-file set."""
+    from scones.lineage import StaleAttemptError
+
+    abandoned = LineageStore(str(tmp_path / "ckpt"), compact_threshold=0)
+    abandoned.fence_attempt()
+    # the supervisor relaunches and retries: a NEW store, newer epoch
+    retry = LineageStore(str(tmp_path / "ckpt"), compact_threshold=0)
+    retry.fence_attempt()
+    big = _fake_rows(1) + [
+        {
+            "snapshot_id": 1,
+            "src_file": "/in/late_arrival.parquet",
+            "offset_start": 0,
+            "offset_end": 7,
+            "row_count": 1,
+        }
+    ]
+    retry.commit(1, big)
+    with pytest.raises(StaleAttemptError):
+        abandoned.commit(1, _fake_rows(1))  # stale epoch: fenced out
+    # the retry's (larger) manifest survives intact; no dupe re-admission
+    assert retry.read_all().num_rows == 2
+    assert retry.processed_files() == {
+        "/in/f0001.parquet",
+        "/in/late_arrival.parquet",
+    }
+    import glob as globmod
+
+    assert not globmod.glob(str(tmp_path / "ckpt" / "lineage" / "*.tmp-*"))
+
+
+def test_commit_refuses_overwrite_of_published_manifest(tmp_path):
+    """A published snapshot manifest is immutable: even an unfenced store
+    (direct harness use) cannot silently replace it."""
+    from scones.lineage import StaleAttemptError
+
+    store = LineageStore(str(tmp_path / "ckpt"), compact_threshold=0)
+    store.commit(1, _fake_rows(1))
+    with pytest.raises(StaleAttemptError):
+        store.commit(1, _fake_rows(1))
+    assert store.read_all().num_rows == 1
 
 
 def test_manifest_compaction_end_to_end_resume_and_time_travel(spark, tmp_path):
