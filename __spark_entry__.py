@@ -724,6 +724,63 @@ def span_dedup(spark, sf_dir):
     return sd(_t(spark, sf_dir, "documents"), span_words=10)
 
 
+# Paragraph-level exact-substring dedup (round-4 verdict item 5; C4 /
+# Lee et al. 2022 remove repeated LINES corpus-wide).  The synthetic
+# corpus carries no newlines, so the entry synthesizes deterministic
+# paragraph boundaries — 8-word chunks joined by '\n' (the pii_scrub
+# synthesize-then-operate precedent) — and the operator itself splits on
+# real newline runs, normalizes, and keeps the first occurrence of each
+# distinct paragraph.  The oracle replays the same chunking + keep-first
+# + reassembly.
+@_q(
+    "paragraph_dedup",
+    """
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+    paras_l AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT)),
+               i -> {'i': i,
+                     'p': array_to_string(list_slice(ws, i*8 + 1, i*8 + 8), ' ')}))
+               AS pp
+      FROM w
+    ), paras AS (
+      SELECT doc_id, CAST(pp.i AS INT) AS para_idx, pp.p AS para FROM paras_l
+      WHERE trim(pp.p) <> ''
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY para
+                                   ORDER BY doc_id, para_idx) AS rn
+      FROM paras
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(para, chr(10) ORDER BY para_idx)
+                    FILTER (WHERE rn = 1), '') AS clean_text,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_paras_kept,
+           COUNT(*) FILTER (WHERE rn > 1) AS n_paras_dropped
+    FROM ranked GROUP BY doc_id
+    """,
+)
+def paragraph_dedup_query(spark, sf_dir):
+    from scones.textops import paragraph_dedup as pd_
+
+    ws = F.split(F.col("text"), " ")
+    n = F.size(ws)
+    n_paras = F.ceil(n / F.lit(8.0)).cast("int")
+    with_nl = F.when(
+        n > 0,
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(0), n_paras - 1),
+                lambda i: F.array_join(F.slice(ws, i * 8 + 1, 8), " "),
+            ),
+            "\n",
+        ),
+    ).otherwise(F.lit(""))
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", with_nl.alias("text")
+    )
+    return pd_(docs)
+
+
 # Document-frequency / idf vocabulary profile (stopword pruning, corpus
 # weighting).  Integer df + round-6 idf → hash-stable.
 @_q(
@@ -857,6 +914,67 @@ def source_quota(spark, sf_dir):
     from scones.textops import source_quota as sq
 
     return sq(_t(spark, sf_dir, "documents"), max_per_source=10, seed=5)
+
+
+def _domain_profile_oracle_sql() -> str:
+    from scones.textops import _pii_patterns
+
+    p = _pii_patterns()
+    # _TOKS_SQL/_STOP_SQL are defined later in the module (registration
+    # order puts the relational block first); inline the same contract.
+    toks_sql = "list_filter(string_split(text, ' '), x -> x <> '')"
+    stop_sql = "[" + ", ".join(f"'{w}'" for w in textops.STOPWORDS) + "]"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, text, {toks_sql} AS toks FROM documents
+    ), mm AS (
+      SELECT doc_id, MAX(c) AS mx FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(toks) AS tok FROM d)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ), feat AS (
+      SELECT d.source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(ROUND(CASE WHEN len(toks) > 0
+               THEN len(list_filter(toks, x -> list_contains({stop_sql}, x)))
+                    / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 9)
+               AS DECIMAL(28,9)) AS stop_r,
+             CAST(ROUND(CASE WHEN LENGTH(text) > 0
+               THEN (LENGTH(text) - LENGTH(regexp_replace(text, '[.,!?;:]', '', 'g')))
+                    / CAST(LENGTH(text) AS DOUBLE) ELSE 0.0 END, 9)
+               AS DECIMAL(28,9)) AS punct_r,
+             CASE WHEN len(toks) > 0 AND COALESCE(mm.mx, 0) * 5 > len(toks)
+                  THEN 1 ELSE 0 END AS rep_flag,
+             CASE WHEN len(regexp_extract_all(text, '{p["email"]}'))
+                       + len(regexp_extract_all(text, '{p["ip"]}')) > 0
+                  THEN 1 ELSE 0 END AS pii_flag
+      FROM d LEFT JOIN mm USING (doc_id)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(CAST(SUM(stop_r) AS DOUBLE) / COUNT(*), 6) AS mean_stopword_ratio,
+           ROUND(CAST(SUM(punct_r) AS DOUBLE) / COUNT(*), 6) AS mean_punct_ratio,
+           ROUND(SUM(rep_flag) / CAST(COUNT(*) AS DOUBLE), 6) AS repetitive_rate,
+           ROUND(SUM(pii_flag) / CAST(COUNT(*) AS DOUBLE), 6) AS pii_rate
+    FROM feat GROUP BY source
+    """
+
+
+# Domain-level quality aggregation (round-4 verdict item 6): the
+# per-source rollup table mixture building consumes — doc/token totals,
+# mean quality ratios (decimal-exact means, the lm_perplexity recipe),
+# Gopher-style repetition rate (integer comparison, no float boundary)
+# and PII incident rate.  One map-side-combinable groupBy over row-local
+# features: at web scale the shuffle carries ~10^7 domain partials
+# against a 10^12-doc scan.
+@_q("domain_profile", _domain_profile_oracle_sql())
+def domain_profile(spark, sf_dir):
+    from scones.textops import domain_profile as dp
+
+    return dp(_t(spark, sf_dir, "documents"))
 
 
 # Token-budget sequence packing (concat-and-chunk pretraining layout):
@@ -1188,14 +1306,42 @@ _SHINGLES_SQL = f"""
 """
 
 
-@_q(
-    "ngram_jaccard_pairs",
-    _SHINGLES_SQL
-    + """
-    , sized AS (SELECT doc_id, COUNT(*) AS set_size FROM sh GROUP BY doc_id),
+def _jaccard_max_df(sf_dir: str | None = None) -> int:
+    """Shingle document-frequency cap for the exact-Jaccard query,
+    derived from the corpus footer count (the same footer-count pattern
+    as embedding_near_dup): the cap is what makes the exact path
+    survivable at scale — a stop-shingle shared by d docs generates
+    O(d²) candidate pairs, so df is bounded at ~2% of the corpus.
+    Round-4 verdict item 4: previously the entry query passed NO cap, so
+    the fan-out guard was dead code in the driver-visible query."""
+    import os as _os
+
+    sf_dir = sf_dir or _os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    try:
+        n = _parquet_rows(f"{sf_dir}/documents.parquet") or 500
+    except (OSError, ValueError):
+        n = 500  # sf0.01 documents row count (the correctness-gate sf)
+    return max(8, n // 50)
+
+
+def _ngram_jaccard_oracle() -> str:
+    """Oracle with the SAME capped shingle universe as the query: drop
+    shingles whose df exceeds the cap BEFORE sizing and intersecting
+    (set sizes are capped consistently, exactly like textops)."""
+    cap = _jaccard_max_df()
+    return (
+        _SHINGLES_SQL
+        + f"""
+    , capped AS (
+      SELECT sh.doc_id, sh.shingle FROM sh
+      JOIN (SELECT shingle FROM sh GROUP BY shingle
+            HAVING COUNT(*) <= {cap}) keep USING (shingle)
+    ), sized AS (SELECT doc_id, COUNT(*) AS set_size FROM capped GROUP BY doc_id),
     inter AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
       GROUP BY doc_a, doc_b
     )
     SELECT doc_a, doc_b,
@@ -1203,11 +1349,17 @@ _SHINGLES_SQL = f"""
     FROM inter JOIN sized sa ON sa.doc_id = doc_a
                JOIN sized sb ON sb.doc_id = doc_b
     WHERE inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE) >= 0.2
-    """,
-)
+    """
+    )
+
+
+@_q("ngram_jaccard_pairs")
 def ngram_jaccard_pairs(spark, sf_dir):
     return textops.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), k=3, threshold=0.2
+        _t(spark, sf_dir, "documents"),
+        k=3,
+        threshold=0.2,
+        max_df=_jaccard_max_df(sf_dir),
     )
 
 
@@ -1266,8 +1418,13 @@ def dedup_near_keep_min(spark, sf_dir):
 _JACCARD_SQL = "inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE)"
 
 
-@_q(
-    "minhash_lsh_pairs",
+# Full-union LSH replay in DuckDB: signatures (md5 minhash), band
+# hashes (md5 over ','-joined sigs per band — identical to Spark's
+# concat_ws), bucket self-join, exact-Jaccard verification.  Shared by
+# minhash_lsh_pairs (computed in one shot) and dedup_incremental
+# (computed as committed-pairs ∪ index-probe — same answer by
+# construction, which is exactly what the oracle checks).
+_LSH_FULL_SQL = (
     _SHINGLES_SQL
     + f"""
     , sigs AS (
@@ -1295,8 +1452,11 @@ _JACCARD_SQL = "inter / CAST(sa.set_size + sb.set_size - inter AS DOUBLE)"
     FROM inter JOIN sized sa ON sa.doc_id = doc_a
                JOIN sized sb ON sb.doc_id = doc_b
     WHERE {_JACCARD_SQL} >= 0.2
-    """,
+    """
 )
+
+
+@_q("minhash_lsh_pairs", _LSH_FULL_SQL)
 def minhash_lsh_pairs(spark, sf_dir):
     return textops.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
@@ -1305,6 +1465,34 @@ def minhash_lsh_pairs(spark, sf_dir):
         k=3,
         threshold=0.2,
     )
+
+
+# Incremental cross-snapshot dedup (round-4 verdict item 3 — the daily
+# 100 TB ingest loop): the committed half of the corpus has a persisted
+# band index; the new half signatures ONLY itself and probes that index
+# (scones/incremental.py).  committed-pairs ∪ probe-pairs must equal a
+# full minhash_lsh_pairs run over the union — so the oracle is the very
+# same full-LSH replay that checks minhash_lsh_pairs.  The no-rescan
+# property (candidate generation never touches committed text) is
+# pinned by tests/test_incremental.py via DataFrame.inputFiles().
+@_q("dedup_incremental", _LSH_FULL_SQL)
+def dedup_incremental(spark, sf_dir):
+    from scones.incremental import incremental_lsh_pairs
+    from scones.textops import minhash_bands
+
+    docs = _t(spark, sf_dir, "documents")
+    committed = docs.where(F.col("doc_id") % 2 == 0)
+    new = docs.where(F.col("doc_id") % 2 == 1)
+    # the index as persisted at the committed snapshot's commit time
+    committed_bands = minhash_bands(committed, num_hashes=8, band_size=2, k=3)
+    inc = incremental_lsh_pairs(
+        new, committed, committed_bands,
+        num_hashes=8, band_size=2, k=3, threshold=0.2,
+    )
+    committed_pairs = textops.minhash_lsh_pairs(
+        committed, num_hashes=8, band_size=2, k=3, threshold=0.2
+    )
+    return committed_pairs.unionByName(inc)
 
 
 # The full cleaning funnel in ONE query: quality gate -> exact-dedup
@@ -1803,6 +1991,10 @@ _RUN_FIRST = [
     "ann_ivf_topk",
     "ann_ivf_learned_fullprobe",
     "embedding_near_dup",
+    # round-5 additions: new entries run before the long-green backlog
+    "domain_profile",
+    "paragraph_dedup",
+    "dedup_incremental",
 ]
 
 
@@ -1815,4 +2007,5 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o = dict(_ORACLES)
     o["embedding_near_dup"] = _embedding_near_dup_oracle()
+    o["ngram_jaccard_pairs"] = _ngram_jaccard_oracle()
     return o

@@ -120,6 +120,11 @@ BENCH_QUERIES = [
     "pack_sequences",
     "normalize_text",
     "source_quota",
+    # round-5 additions: domain rollup, paragraph-level dedup,
+    # incremental cross-snapshot dedup
+    "domain_profile",
+    "paragraph_dedup",
+    "dedup_incremental",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary

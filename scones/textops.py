@@ -252,19 +252,13 @@ def minhash_signatures(df: DataFrame, num_hashes: int = 8, k: int = 3) -> DataFr
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    num_hashes: int = 8,
-    band_size: int = 2,
-    k: int = 3,
-    threshold: float = 0.5,
+def minhash_bands(
+    df: DataFrame, num_hashes: int = 8, band_size: int = 2, k: int = 3
 ) -> DataFrame:
-    """Sub-quadratic near-dup: band the minhash signature, bucket-join,
-    verify candidates with exact Jaccard.
-
-    Candidate generation never compares all pairs — docs only meet if a
-    whole band of their signatures collides (the LSH guarantee), so the
-    self-join key is (band, band_hash) and stays tiny even at 10^12 docs.
+    """Banded minhash index rows ``(doc_id, band, band_hash)`` — the LSH
+    bucket keys.  This IS the persistable band index: write it as a side
+    table at corpus-commit time and later snapshots probe it without
+    re-signaturing the committed corpus (see :mod:`scones.incremental`).
     """
     wide = minhash_signatures_wide(df, num_hashes, k)
     n_bands = num_hashes // band_size
@@ -279,9 +273,26 @@ def minhash_lsh_pairs(
         )
         for b in range(n_bands)
     ]
-    bands = wide.select(
+    return wide.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bb")
     ).select("doc_id", "bb.band", "bb.band_hash")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Sub-quadratic near-dup: band the minhash signature, bucket-join,
+    verify candidates with exact Jaccard.
+
+    Candidate generation never compares all pairs — docs only meet if a
+    whole band of their signatures collides (the LSH guarantee), so the
+    self-join key is (band, band_hash) and stays tiny even at 10^12 docs.
+    """
+    bands = minhash_bands(df, num_hashes, band_size, k)
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -292,18 +303,28 @@ def minhash_lsh_pairs(
         )
         .distinct()
     )
-    # Exact-verify candidates only (tiny set) with true shingle Jaccard.
-    # Semi-join the shingle relation down to candidate docs FIRST so the
-    # intersection join never touches non-candidate shingles (at 10^12
-    # docs the candidate set is sparse; the full relation is not).
-    sh = shingles(df, k).withColumn("sh_md5", F.md5("shingle")).drop("shingle")
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("set_size"))
+    return verify_candidate_pairs(candidates, df, k, threshold)
+
+
+def verify_candidate_pairs(
+    candidates: DataFrame, docs: DataFrame, k: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate ``(doc_a, doc_b)`` pairs
+    against the shingle sets of ``docs`` (which must cover every doc id
+    appearing in a candidate).
+
+    Semi-joins the shingle relation down to candidate docs FIRST so the
+    intersection join never touches non-candidate shingles (at 10^12
+    docs the candidate set is sparse; the full relation is not).
+    """
+    sh = shingles(docs, k).withColumn("sh_md5", F.md5("shingle")).drop("shingle")
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
         .distinct()
     )
     sh_c = sh.join(cand_docs, "doc_id", "left_semi")
+    sizes = sh_c.groupBy("doc_id").agg(F.count("*").alias("set_size"))
     ia = sh_c.select(F.col("doc_id").alias("doc_a"), "sh_md5")
     ib = sh_c.select(F.col("doc_id").alias("doc_b"), "sh_md5")
     inter = (
@@ -1133,4 +1154,158 @@ def source_quota(
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= max_per_source)
         .select(id_col, source_col)
+    )
+
+
+def domain_profile(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    rep_frac_threshold_x5: int = 5,
+) -> DataFrame:
+    """Per-source (domain) quality rollup: the mixture-building input
+    table that :func:`source_quota` and :func:`sample_mixture` consume
+    in production — one row per source with document/token totals,
+    mean quality ratios, and repetition/PII incident rates.
+
+    Columns: ``source, n_docs, total_tokens, total_chars,
+    mean_stopword_ratio, mean_punct_ratio, repetitive_rate, pii_rate``.
+
+    Scale shape: every feature folds ROW-LOCALLY (token ratios,
+    :func:`_max_multiplicity` repetition flag, ``regexp_count`` PII
+    flag — all codegen, zero Python), then ONE map-side-combinable
+    groupBy(source) whose shuffle carries a handful of partials per
+    domain — domains number ~10^7 at web scale, documents ~10^12, so
+    the exchange is 5 orders of magnitude smaller than the scan.
+    Determinism across engines: mean ratios are pre-rounded to 9 places
+    and summed EXACTLY as decimal (the :func:`lm_perplexity` recipe);
+    the repetition flag compares integers (max_multiplicity × 5 >
+    n_tokens, i.e. top-token fraction > 20%, the Gopher-style
+    boilerplate rule) so no float boundary exists to disagree on.
+    """
+    toks = tokens_col(text_col)
+    n_tokens = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda x: x.isin(STOPWORDS)))
+    n_chars = F.length(text_col)
+    punct = n_chars - F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))
+    pats = _pii_patterns()
+    n_pii = sum(
+        (F.regexp_count(F.col(text_col), F.lit(p)) for p in pats.values()),
+        F.lit(0),
+    )
+    per_doc = df.select(
+        source_col,
+        n_tokens.cast("bigint").alias("n_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        F.round(
+            F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0)), 9
+        ).cast("decimal(28,9)").alias("stop_r"),
+        F.round(
+            F.when(n_chars > 0, punct / n_chars).otherwise(F.lit(0.0)), 9
+        ).cast("decimal(28,9)").alias("punct_r"),
+        (
+            (n_tokens > 0)
+            & (_max_multiplicity(toks) * rep_frac_threshold_x5 > n_tokens)
+        ).cast("int").alias("rep_flag"),
+        (n_pii > 0).cast("int").alias("pii_flag"),
+    )
+    n_docs = F.count("*")
+    return per_doc.groupBy(source_col).agg(
+        n_docs.alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.round(F.sum("stop_r").cast("double") / n_docs, 6).alias(
+            "mean_stopword_ratio"
+        ),
+        F.round(F.sum("punct_r").cast("double") / n_docs, 6).alias(
+            "mean_punct_ratio"
+        ),
+        F.round(F.sum("rep_flag") / n_docs, 6).alias("repetitive_rate"),
+        F.round(F.sum("pii_flag") / n_docs, 6).alias("pii_rate"),
+    )
+
+
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Paragraph/line-level exact-substring dedup (C4 / Lee et al. 2022:
+    remove repeated lines corpus-wide, keep the first occurrence):
+    split on newline runs, NORMALIZE each paragraph (collapse internal
+    whitespace, trim), md5 it, keep only the first occurrence of each
+    distinct normalized paragraph (first = lowest (doc_id, para_idx)),
+    and reassemble documents from their surviving paragraphs joined by
+    a single newline.  Complements :func:`span_dedup` (fixed word
+    windows) with the structure-aware variant real web text wants —
+    boilerplate lines (nav bars, cookie banners) repeat verbatim across
+    pages at paragraph granularity.
+
+    Returns (doc_id, clean_text, n_paras_kept, n_paras_dropped) for
+    EVERY input document — one whose every paragraph was seen earlier
+    (or was whitespace-only) comes back with empty clean_text.
+
+    Scale shape: the :func:`span_dedup` recipe — paragraph extraction
+    and normalization are row-local; the keep-first winner per
+    paragraph is ONE map-side-combinable ``min(struct(doc_id, idx))``
+    groupBy (no Window, no global sort); winners join back on the
+    16-byte md5 key (paragraph text never shuffles beyond its doc);
+    reassembly is one groupBy(doc_id) with a row-local sort_array fold.
+    """
+    paras = (
+        df.select(
+            id_col,
+            F.posexplode(F.split(F.col(text_col), r"\n+")).alias(
+                "para_idx", "para_raw"
+            ),
+        )
+        .withColumn(
+            "para", F.trim(F.regexp_replace("para_raw", r"[ \t\r]+", " "))
+        )
+        .where(F.col("para") != "")
+        .withColumn("para_key", F.md5("para"))
+        .drop("para_raw")
+    )
+    winners = paras.groupBy("para_key").agg(
+        F.min(
+            F.struct(F.col(id_col).alias("d"), F.col("para_idx").alias("s"))
+        ).alias("first_occ")
+    )
+    kept = paras.join(winners, "para_key").withColumn(
+        "keep",
+        (F.col("first_occ.d") == F.col(id_col))
+        & (F.col("first_occ.s") == F.col("para_idx")),
+    )
+    per_doc = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.sort_array(
+                    F.collect_list(
+                        F.when(
+                            F.col("keep"),
+                            F.struct(
+                                F.col("para_idx").alias("i"),
+                                F.col("para").alias("t"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["t"],
+            ),
+        ).alias("clean_text"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("n_paras_kept"),
+        F.sum(F.when(F.col("keep"), 0).otherwise(1)).alias("n_paras_dropped"),
+    )
+    # every input doc gets a row, even if all its paragraphs were
+    # dropped as whitespace-only (they never reached the groupBy)
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_paras_kept", F.lit(0)).alias("n_paras_kept"),
+            F.coalesce("n_paras_dropped", F.lit(0)).alias("n_paras_dropped"),
+        )
     )

@@ -1,0 +1,91 @@
+"""Incremental cross-snapshot dedup: persisted band index, no-rescan
+candidate generation, and equivalence with the full-union LSH run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from scones.incremental import (
+    commit_snapshot_with_index,
+    incremental_candidates,
+    incremental_lsh_pairs,
+    read_band_index,
+)
+from scones.textops import minhash_lsh_pairs
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def snapshots(spark, tmp_path_factory):
+    """Snapshot 1 (even doc_ids) committed with its band index;
+    snapshot 2 (odd doc_ids) arrives later."""
+    root = str(tmp_path_factory.mktemp("corpus_root"))
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    s1 = commit_snapshot_with_index(
+        docs.where(F.col("doc_id") % 2 == 0), root, 1, k=3
+    )
+    s2 = commit_snapshot_with_index(
+        docs.where(F.col("doc_id") % 2 == 1), root, 2, k=3
+    )
+    return root, s1, s2
+
+
+def test_candidate_generation_never_reads_committed_text(spark, snapshots):
+    """The probe's candidate stage reads the NEW snapshot and the
+    persisted INDEX — never snapshot 1's document files.  This is the
+    point of the operator: a daily delta does not re-scan the corpus."""
+    _, s1, s2 = snapshots
+    new = spark.read.parquet(f"{s2}/documents")
+    idx1 = read_band_index(spark, f"{s1}/band_index")
+    cands = incremental_candidates(new, idx1, k=3)
+    files = set(cands.inputFiles())
+    assert files, "candidate plan should read real files"
+    committed_doc_files = {f for f in files if f"{s1}/documents" in f}
+    assert committed_doc_files == set()
+    # it DOES read the index and the new snapshot
+    assert any("band_index" in f for f in files)
+    assert any(f"{s2}/documents".replace("=", "%3D") in f or f"{s2}/documents" in f for f in files)
+
+
+def test_incremental_union_equals_full_lsh(spark, snapshots):
+    """committed-pairs ∪ index-probe-pairs == full-union LSH, exactly
+    (same bands, same verify) — the CORRECTNESS contract the driver
+    oracle checks via the shared full-LSH replay SQL."""
+    _, s1, s2 = snapshots
+    committed = spark.read.parquet(f"{s1}/documents")
+    new = spark.read.parquet(f"{s2}/documents")
+    idx1 = read_band_index(spark, f"{s1}/band_index")
+
+    inc = incremental_lsh_pairs(
+        new, committed, idx1, num_hashes=8, band_size=2, k=3, threshold=0.2
+    )
+    committed_pairs = minhash_lsh_pairs(
+        committed, num_hashes=8, band_size=2, k=3, threshold=0.2
+    )
+    got = {
+        (r.doc_a, r.doc_b, float(r.jaccard))
+        for r in committed_pairs.unionByName(inc).collect()
+    }
+
+    full = minhash_lsh_pairs(
+        committed.unionByName(new), num_hashes=8, band_size=2, k=3,
+        threshold=0.2,
+    )
+    want = {(r.doc_a, r.doc_b, float(r.jaccard)) for r in full.collect()}
+    assert got == want
+    assert want  # the sf0.01 corpus has planted near-dup pairs
+
+
+def test_index_is_band_partitioned(spark, snapshots):
+    """The persisted index is routed by band so a band probe prunes to
+    one partition directory."""
+    import os
+
+    _, s1, _ = snapshots
+    idx_dir = f"{s1}/band_index"
+    parts = {d for d in os.listdir(idx_dir) if d.startswith("band=")}
+    assert parts == {"band=0", "band=1", "band=2", "band=3"}
+    idx = read_band_index(spark, idx_dir)
+    assert set(idx.columns) == {"doc_id", "band", "band_hash"}
