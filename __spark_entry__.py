@@ -977,6 +977,62 @@ def domain_profile(spark, sf_dir):
     return dp(_t(spark, sf_dir, "documents"))
 
 
+def _dsir_oracle_sql(n_buckets: int = 256) -> str:
+    """Replay DSIR end-to-end: hashed unigram+bigram buckets (md5 nibble
+    trick = Spark's conv(substr(md5,1,4),16,10)), add-one multinomials
+    over target vs raw, per-bucket log-ratios rounded to 9 and summed
+    exactly as decimal per doc (order-insensitive), final round to 4."""
+    nib = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    u16 = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4))
+    target = "source IN ('src0', 'src1', 'src2')"
+    return f"""
+    WITH d AS (
+      SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+    ), ng AS (
+      SELECT doc_id, source, UNNEST(list_concat(t,
+        list_transform(range(1, len(t)),
+                       i -> list_extract(t, i) || ' ' || list_extract(t, i + 1))
+      )) AS g
+      FROM d
+    ), hb AS (
+      SELECT doc_id, source, CAST(({u16}) % {n_buckets} AS INT) AS b
+      FROM (SELECT doc_id, source, md5(g) AS h FROM ng)
+    ), cq AS (SELECT b, COUNT(*) AS c FROM hb GROUP BY b),
+    cp AS (SELECT b, COUNT(*) AS c FROM hb WHERE {target} GROUP BY b),
+    tot AS (
+      SELECT (SELECT COUNT(*) FROM hb WHERE {target}) + {n_buckets} AS tp,
+             (SELECT COUNT(*) FROM hb) + {n_buckets} AS tq
+    ), ratio AS (
+      SELECT r.b,
+             CAST(ROUND(ln((COALESCE(cp.c, 0) + 1) / CAST(tot.tp AS DOUBLE))
+                      - ln((COALESCE(cq.c, 0) + 1) / CAST(tot.tq AS DOUBLE)), 9)
+                  AS DECIMAL(28,9)) AS lr
+      FROM (SELECT UNNEST(range(0, {n_buckets})) AS b) r
+      LEFT JOIN cp ON cp.b = r.b
+      LEFT JOIN cq ON cq.b = r.b
+      CROSS JOIN tot
+    )
+    SELECT hb.doc_id, COUNT(*) AS n_ngrams,
+           ROUND(CAST(SUM(lr) AS DOUBLE), 4) AS weight
+    FROM hb JOIN ratio ON ratio.b = hb.b
+    GROUP BY hb.doc_id
+    """
+
+
+# DSIR importance weighting (Xie et al. 2023): select pretraining data
+# that looks like a target domain via hashed-n-gram importance ratios.
+# Zero-shuffle scoring pass (broadcast 256-entry log-ratio literal,
+# row-local decimal fold); model fit = two bucket-count groupBys whose
+# output is metadata-scale.  Target here: sources src0-src2.
+@_q("dsir_weights", _dsir_oracle_sql())
+def dsir_weights_query(spark, sf_dir):
+    from scones.textops import dsir_weights as dw
+
+    docs = _t(spark, sf_dir, "documents")
+    target = docs.where(F.col("source").isin("src0", "src1", "src2"))
+    return dw(docs, target, n_buckets=256)
+
+
 # Token-budget sequence packing (concat-and-chunk pretraining layout):
 # deterministic hash order, distributed prefix sum (within-shard window
 # + broadcast shard bases — no global window), integer outputs.  The
@@ -1995,6 +2051,7 @@ _RUN_FIRST = [
     "domain_profile",
     "paragraph_dedup",
     "dedup_incremental",
+    "dsir_weights",
 ]
 
 

@@ -125,6 +125,7 @@ BENCH_QUERIES = [
     "domain_profile",
     "paragraph_dedup",
     "dedup_incremental",
+    "dsir_weights",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary

@@ -38,6 +38,12 @@ class PipelineConfig:
     poll_max_sec: float = 10.0  # (supervisor.go:56, cmd:85)
     snapshot_timeout_sec: float | None = None  # hung-JVM watchdog ceiling
     stats_port: int | None = None  # statistics HTTP endpoint (cmd:65-75)
+    # incremental cross-snapshot dedup: persist a minhash band index per
+    # snapshot and report near-dup pairs the snapshot introduces vs the
+    # committed corpus (scones/incremental.py) — the committed corpus is
+    # never re-signatured, only its index is probed
+    dedup_index: bool = False
+    dedup_threshold: float = 0.5  # exact-Jaccard verify threshold
     extra: dict = field(default_factory=dict)
 
     @classmethod

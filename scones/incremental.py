@@ -65,13 +65,15 @@ def write_band_index(
     )
 
 
-def read_band_index(spark: SparkSession, index_dir: str) -> DataFrame:
-    return spark.read.parquet(index_dir).select("doc_id", "band", "band_hash")
+def read_band_index(spark: SparkSession, *index_dirs: str) -> DataFrame:
+    return spark.read.parquet(*index_dirs).select(
+        "doc_id", "band", "band_hash"
+    )
 
 
 def incremental_candidates(
     new_docs: DataFrame,
-    committed_bands: DataFrame,
+    committed_bands: DataFrame | None,
     num_hashes: int = 8,
     band_size: int = 2,
     k: int = 3,
@@ -95,6 +97,8 @@ def incremental_candidates(
             F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
     )
+    if committed_bands is None:  # first snapshot: nothing to probe
+        return nn.distinct()
     c = committed_bands.alias("c")
     nc = (
         a.join(c, on=["band", "band_hash"])
@@ -128,6 +132,84 @@ def incremental_lsh_pairs(
         committed_docs.select("doc_id", "text")
     )
     return verify_candidate_pairs(cands, universe, k, threshold)
+
+
+def pipeline_doc_view(written: DataFrame, snapshot_id: int) -> DataFrame:
+    """(doc_id, text) view of a routed pipeline snapshot: doc identity is
+    snapshot-qualified (``"<snapshot_id>#<url>"``) so the SAME url
+    re-ingested by a later snapshot is two distinct documents whose
+    near-duplicity gets REPORTED — exactly the daily-crawl case the
+    operator exists for."""
+    return written.select(
+        F.concat_ws("#", F.lit(str(snapshot_id)), F.col("url")).alias(
+            "doc_id"
+        ),
+        F.col("extracted").cast("string").alias("text"),
+    )
+
+
+def update_index_and_probe(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    output_dir: str,
+    snapshot_id: int,
+    written: DataFrame,
+    committed_ids: list[int],
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> dict:
+    """The pipeline-commit hook: persist this snapshot's band index and
+    report near-dup pairs it introduces against the committed corpus.
+
+    Runs AFTER the sink write, BEFORE the lineage commit — both outputs
+    are deterministic overwrites, so a crash-retry of the snapshot
+    rewrites identical files (effectively-once holds).  Committed
+    snapshots that predate ``dedup_index`` being enabled simply have no
+    index directory and are skipped (documented: enable-from-now-on).
+
+    Cost shape at 100 TB: signatures/banding scan ONLY this snapshot's
+    delta; the committed corpus contributes its (tiny, band-routed)
+    index rows to the bucket join plus point lookups of candidate texts
+    for exact verification.
+    """
+    idx_root = os.path.join(checkpoint_dir, "band_index")
+    new_docs = pipeline_doc_view(written, snapshot_id)
+    write_band_index(
+        new_docs,
+        os.path.join(idx_root, f"snapshot_id={snapshot_id}"),
+        num_hashes,
+        band_size,
+        k,
+    )
+    committed_idx_dirs = [
+        os.path.join(idx_root, f"snapshot_id={sid}")
+        for sid in committed_ids
+        if os.path.isdir(os.path.join(idx_root, f"snapshot_id={sid}"))
+    ]
+    committed_bands = (
+        read_band_index(spark, *committed_idx_dirs)
+        if committed_idx_dirs
+        else None
+    )
+    cands = incremental_candidates(
+        new_docs, committed_bands, num_hashes, band_size, k
+    )
+    universe = new_docs
+    for sid in committed_ids:
+        d = os.path.join(output_dir, f"snapshot_id={sid}")
+        if os.path.isdir(d):
+            universe = universe.unionByName(
+                pipeline_doc_view(spark.read.parquet(d), sid)
+            )
+    pairs = verify_candidate_pairs(cands, universe, k, threshold)
+    pairs_dir = os.path.join(
+        checkpoint_dir, "near_dups", f"snapshot_id={snapshot_id}"
+    )
+    pairs.write.mode("overwrite").parquet(pairs_dir)
+    n = spark.read.parquet(pairs_dir).count()
+    return {"n_near_dup_pairs": int(n), "near_dups": pairs_dir}
 
 
 def commit_snapshot_with_index(

@@ -170,6 +170,25 @@ def run_snapshot(
         rows = lineage_rows_for(None, snapshot_id, planned_files=files)
         metrics_empty = True
 
+    # Cross-snapshot dedup hook: persist this snapshot's band index and
+    # probe the committed indexes (scones/incremental.py).  Runs before
+    # the lineage commit so the index is durable by the time the
+    # snapshot counts as committed; deterministic overwrite ⇒ a
+    # crash-retry rewrites identical files.
+    dedup_info: dict = {}
+    if cfg.dedup_index and not metrics_empty:
+        from .incremental import update_index_and_probe
+
+        dedup_info = update_index_and_probe(
+            spark,
+            cfg.checkpoint_dir,
+            cfg.output_dir,
+            snapshot_id,
+            written,
+            committed_ids=store.committed_snapshots(),
+            threshold=cfg.dedup_threshold,
+        )
+
     if fail_before_commit:
         raise RuntimeError("injected crash between sink write and lineage commit")
 
@@ -194,6 +213,7 @@ def run_snapshot(
         "plan_sec": t_planned - t_start,
         "write_sec": t_written - t_planned,
         "audit_commit_sec": t_done - t_written,
+        **dedup_info,
     }
     # durable counters (statistics.go parity, but surviving the process)
     from .statsserver import persist_run_metrics

@@ -1309,3 +1309,91 @@ def paragraph_dedup(
             F.coalesce("n_paras_dropped", F.lit(0)).alias("n_paras_dropped"),
         )
     )
+
+
+def _hashed_ngrams_col(text_col: str):
+    """Row-local unigram+bigram array for DSIR hashing: tokens plus
+    space-joined adjacent pairs (the Xie et al. 2023 feature space)."""
+    toks = f"split({text_col}, ' ')"
+    return F.expr(
+        f"concat({toks}, transform(arrays_zip("
+        f"slice({toks}, 1, size({toks}) - 1), "
+        f"slice({toks}, 2, size({toks}) - 1)), "
+        f"p -> concat(p['0'], ' ', p['1'])))"
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance weights (Data Selection via Importance Resampling,
+    Xie et al. 2023 — public recipe): score every raw document by how
+    much more likely its hashed-n-gram bag is under the TARGET domain's
+    distribution than under the raw corpus's own.
+
+    features  = unigrams + bigrams, hashed to ``n_buckets`` buckets via
+                the first 4 hex chars of md5 (replayable in DuckDB with
+                the shard_corpus nibble trick);
+    p, q      = add-one-smoothed multinomials over buckets fit on the
+                target sample and the raw corpus;
+    weight(d) = Σ_{g ∈ d} [ln p(bucket(g)) − ln q(bucket(g))] — the log
+                importance ratio; resample/top-k by weight downstream.
+
+    Scale shape: model fit is TWO map-side-combinable groupBys whose
+    output is ``n_buckets`` rows — a metadata-scale collect (the IVF
+    broadcast-centroid precedent); scoring is a ZERO-exchange row-local
+    fold over each doc's ngram array against the broadcast 256-entry
+    log-ratio literal.  No join, no shuffle in the scoring pass — the
+    100 TB path is scan-shaped.  Determinism: per-bucket log-ratios are
+    rounded to 9 places and folded as decimal (order-insensitive), the
+    final weight rounds to 4 — the lm_perplexity recipe.
+    """
+    m = n_buckets
+
+    def bucket_of(col):
+        return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int") % m
+
+    def bucket_counts(frame) -> dict[int, int]:
+        rows = (
+            frame.select(
+                F.explode(_hashed_ngrams_col(text_col)).alias("ng")
+            )
+            .groupBy(bucket_of(F.col("ng")).alias("b"))
+            .agg(F.count("*").alias("c"))
+            .collect()
+        )
+        return {r["b"]: r["c"] for r in rows}
+
+    import math
+
+    cp = bucket_counts(target_df)
+    cq = bucket_counts(df)
+    tot_p = sum(cp.values()) + m
+    tot_q = sum(cq.values()) + m
+    ratios = [
+        round(
+            math.log((cp.get(b, 0) + 1) / tot_p)
+            - math.log((cq.get(b, 0) + 1) / tot_q),
+            9,
+        )
+        for b in range(m)
+    ]
+    ratio_arr = F.array(*[F.lit(r).cast("decimal(28,9)") for r in ratios])
+    ngrams = _hashed_ngrams_col(text_col)
+    weight = F.aggregate(
+        ngrams,
+        F.lit(0).cast("decimal(38,9)"),
+        # cast back: decimal addition promotes past the accumulator type
+        lambda acc, ng: (
+            acc + F.element_at(ratio_arr, bucket_of(ng) + F.lit(1))
+        ).cast("decimal(38,9)"),
+    )
+    return df.select(
+        id_col,
+        F.size(ngrams).cast("bigint").alias("n_ngrams"),
+        F.round(weight.cast("double"), 4).alias("weight"),
+    )

@@ -78,6 +78,51 @@ def test_incremental_union_equals_full_lsh(spark, snapshots):
     assert want  # the sf0.01 corpus has planted near-dup pairs
 
 
+def test_pipeline_dedup_index_hook(spark, tmp_path):
+    """End-to-end: dedup_index=true makes each snapshot commit persist a
+    band index and report cross-snapshot near-dups.  Batch 2 re-ingests
+    batch 1's exact content under new file names — every doc must pair
+    with its committed twin at jaccard 1.0, WITHOUT re-signaturing
+    snapshot 1 (only its index + candidate texts are read)."""
+    import shutil
+
+    from scones.config import PipelineConfig
+    from scones.corpus import write_corpus
+    from scones.pipeline import run_snapshot
+
+    root = tmp_path
+    write_corpus(str(root / "in"), n_docs=40, n_files=1, seed=77)
+    cfg = PipelineConfig(
+        input_glob=f"{root}/in/*.parquet",
+        output_dir=str(root / "out"),
+        checkpoint_dir=str(root / "ckpt"),
+        n_sinks=2,
+        dedup_index=True,
+        dedup_threshold=0.5,
+    )
+    s1 = run_snapshot(spark, cfg)
+    assert s1["snapshot_id"] == 1
+    assert "n_near_dup_pairs" in s1
+    assert (root / "ckpt" / "band_index" / "snapshot_id=1").is_dir()
+    base_pairs = s1["n_near_dup_pairs"]  # corpus-internal dups, if any
+
+    # batch 2: identical content, new file name → new lineage entry
+    shutil.copy(
+        str(root / "in" / "docs_0000.parquet"),
+        str(root / "in" / "docs_dup_0000.parquet"),
+    )
+    s2 = run_snapshot(spark, cfg)
+    assert s2["snapshot_id"] == 2
+    # every one of the 40 re-ingested docs is a near-dup of its twin
+    assert s2["n_near_dup_pairs"] >= 40 + base_pairs
+    pairs = spark.read.parquet(s2["near_dups"])
+    twins = pairs.where(
+        (F.col("jaccard") == 1.0)
+        & (F.split("doc_a", "#")[0] != F.split("doc_b", "#")[0])
+    )
+    assert twins.count() >= 40
+
+
 def test_index_is_band_partitioned(spark, snapshots):
     """The persisted index is routed by band so a band probe prunes to
     one partition directory."""

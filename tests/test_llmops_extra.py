@@ -153,3 +153,24 @@ def test_pack_sequences_more_shards_same_order_scale_knob(spark):
         assert ends[-1] == 350
         starts = sorted(r.bin_id * 32 + r.bin_offset for r in rs)
         assert set(starts) == {0, *ends[:-1]}
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """DSIR semantics: documents lexically similar to the target sample
+    must carry higher importance weights than junk the target never
+    uses.  Also: weights are partitioning-independent (decimal fold)."""
+    from scones.textops import dsir_weights
+
+    tech = [(i, "spark shuffle partition join broadcast agg " * 4) for i in range(10)]
+    junk = [(100 + i, "zzz qqq www eee rrr ttt " * 4) for i in range(10)]
+    df = _docs(spark, tech + junk)
+    target = _docs(spark, tech[:5])
+    got = {r.doc_id: r.weight for r in dsir_weights(df, target).collect()}
+    tech_w = sum(got[i] for i, _ in tech) / len(tech)
+    junk_w = sum(got[i] for i, _ in junk) / len(junk)
+    assert tech_w > junk_w
+    again = {
+        r.doc_id: r.weight
+        for r in dsir_weights(df.repartition(7), target).collect()
+    }
+    assert got == again
