@@ -1019,6 +1019,104 @@ def _dsir_oracle_sql(n_buckets: int = 256) -> str:
     """
 
 
+# --- URL canonicalization + canonical-URL dedup (scones/urlops.py) ---
+# The documents table carries no url column, so the entry builds one
+# deterministically from (doc_id, source) — messy on purpose: mixed-case
+# scheme/host, www. prefixes, default and non-default ports, trailing
+# slashes, tracking params, unsorted query strings, fragments — and the
+# SQL oracle constructs the IDENTICAL string, then replays the same
+# RE2-compatible canonicalization rules (see urlops.oracle_canonical_sql,
+# kept beside the Spark expression so the rule sets cannot drift).
+
+_URL_SYNTH_SQL = """
+      CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END || '://'
+      || CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END
+      || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+      || '.Example.COM'
+      || CASE WHEN doc_id % 5 = 0
+              THEN CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END
+              WHEN doc_id % 7 = 0 THEN ':8080' ELSE '' END
+      || '/p/' || CAST(doc_id % 50 AS VARCHAR)
+      || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+      || CASE WHEN doc_id % 2 = 0 THEN '?b=2&utm_source=feed&a=1&ref=x'
+              ELSE '?a=1&b=2' END
+      || CASE WHEN doc_id % 3 = 1 THEN '#s' || CAST(doc_id AS VARCHAR)
+              ELSE '' END
+"""
+
+
+def _url_synth_col():
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 2 == 0, F.lit("HTTP")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(d % 3 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(
+            d % 5 == 0,
+            F.when(d % 2 == 0, F.lit(":80")).otherwise(F.lit(":443")),
+        )
+        .when(d % 7 == 0, F.lit(":8080"))
+        .otherwise(F.lit("")),
+        F.lit("/p/"),
+        (d % 50).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.lit("?b=2&utm_source=feed&a=1&ref=x")).otherwise(
+            F.lit("?a=1&b=2")
+        ),
+        F.when(d % 3 == 1, F.concat(F.lit("#s"), d.cast("string"))).otherwise(
+            F.lit("")
+        ),
+    )
+
+
+def _canonical_urls_oracle_sql() -> str:
+    from scones.urlops import oracle_canonical_sql
+
+    return f"""
+    WITH u AS (SELECT doc_id, ({_URL_SYNTH_SQL}) AS url FROM documents)
+    SELECT doc_id, url, {oracle_canonical_sql("url")} AS canonical_url FROM u
+    """
+
+
+# Row-local canonicalization projection: zero exchanges, pure codegen.
+@_q("canonical_urls", _canonical_urls_oracle_sql())
+def canonical_urls(spark, sf_dir):
+    from scones.urlops import canonicalize_urls
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_synth_col().alias("url")
+    )
+    return canonicalize_urls(docs)
+
+
+def _url_dedup_oracle_sql() -> str:
+    from scones.urlops import oracle_canonical_sql
+
+    return f"""
+    WITH u AS (SELECT doc_id, ({_URL_SYNTH_SQL}) AS url FROM documents),
+    c AS (SELECT doc_id, url, {oracle_canonical_sql("url")} AS canonical_url FROM u)
+    SELECT canonical_url,
+           MIN(doc_id) AS keeper_id,
+           COUNT(*) AS n_urls,
+           COUNT(DISTINCT url) AS n_raw_forms
+    FROM c GROUP BY canonical_url
+    """
+
+
+# Canonical-slot dedup: one map-side-combinable groupBy; shuffles only
+# (canonical_url, id) pairs, never bodies.
+@_q("url_dedup", _url_dedup_oracle_sql())
+def url_dedup_query(spark, sf_dir):
+    from scones.urlops import url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _url_synth_col().alias("url")
+    )
+    return url_dedup(docs)
+
+
 # DSIR importance weighting (Xie et al. 2023): select pretraining data
 # that looks like a target domain via hashed-n-gram importance ratios.
 # Zero-shuffle scoring pass (broadcast 256-entry log-ratio literal,
@@ -1988,6 +2086,28 @@ def embedding_near_dup(spark, sf_dir):
     )
 
 
+# SemDeDup (Abbas et al. 2023): greedy keep-min semantic dedup over the
+# same banded sign-LSH near-dup pairs — a vector survives iff it has no
+# candidate near-duplicate (cosine >= threshold) with a smaller id.
+# Parameters are footer-derived exactly like embedding_near_dup, so the
+# oracle (the near-dup SQL as a CTE + NOT IN) stays parameter-locked.
+@_q("semdedup")
+def semdedup_query(spark, sf_dir):
+    n = _parquet_rows(f"{sf_dir}/embeddings.parquet")
+    r, b = similarity.near_dup_lsh_params(n, target_bucket=64)
+    return similarity.semdedup(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3, bits_per_band=r, n_bands=b
+    )
+
+
+def _semdedup_oracle() -> str:
+    return f"""
+    WITH pairs AS ({_embedding_near_dup_oracle()})
+    SELECT e.vec_id FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_b FROM pairs)
+    """
+
+
 def _embedding_near_dup_oracle() -> str:
     """Oracle for embedding_near_dup, parameter-locked to the query: r/b
     are derived from the same footer count + near_dup_lsh_params call the
@@ -2052,6 +2172,9 @@ _RUN_FIRST = [
     "paragraph_dedup",
     "dedup_incremental",
     "dsir_weights",
+    "canonical_urls",
+    "url_dedup",
+    "semdedup",
 ]
 
 
@@ -2064,5 +2187,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     o = dict(_ORACLES)
     o["embedding_near_dup"] = _embedding_near_dup_oracle()
+    o["semdedup"] = _semdedup_oracle()
     o["ngram_jaccard_pairs"] = _ngram_jaccard_oracle()
     return o

@@ -126,6 +126,10 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "dedup_incremental",
     "dsir_weights",
+    # round-5: URL canonicalization + canonical-URL dedup, SemDeDup
+    "canonical_urls",
+    "url_dedup",
+    "semdedup",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary

@@ -419,3 +419,43 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("cos_sim") >= threshold)
     )
+
+
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits_per_band: int = 8,
+    n_bands: int = 4,
+    max_bucket: int = 0,
+    planes: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    deduplication in embedding space — keep one representative per group
+    of semantically-identical documents.  The paper clusters with k-means
+    and drops within-cluster pairs above a cosine threshold; this
+    implementation uses the repo's banded sign-LSH buckets as the
+    (deterministic, SQL-replayable) cluster structure and the standard
+    greedy keep-min rule: a vector is DROPPED iff it has a near-duplicate
+    (cosine ≥ threshold among LSH candidates) with a smaller id.
+
+    Greedy keep-min is retry-stable and order-free (no sequential scan
+    over candidates like the paper's exact algorithm), at the cost of
+    occasionally dropping both b and c when a<b<c chain-duplicate without
+    (a,c) being a pair — acceptable for dedup, where over-dropping a
+    near-dup is cheap and under-dropping is the failure mode.
+
+    Scale shape: inherits every fan-out cap from
+    :func:`embedding_near_dup_pairs` (adaptive bits/band, max_bucket,
+    id-only candidate shuffles); the final keep step is one left-anti
+    hash join on 8-byte ids.  Returns the kept ``vec_id`` rows.
+    """
+    pairs = embedding_near_dup_pairs(
+        df,
+        threshold=threshold,
+        bits_per_band=bits_per_band,
+        n_bands=n_bands,
+        max_bucket=max_bucket,
+        planes=planes,
+    )
+    losers = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return df.select("vec_id").join(losers, "vec_id", "left_anti")

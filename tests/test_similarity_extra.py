@@ -184,3 +184,34 @@ def test_ivf_learned_centroids_recall(spark):
         for r in ann_ivf_topk_learned(df, 0, k=10, n_centroids=8, n_probe=2).collect()
     }
     assert len(got & truth) / len(truth) >= 0.5
+
+
+def test_semdedup_keep_min(spark):
+    """SemDeDup greedy keep-min: of a group of identical vectors only the
+    min id survives; vectors with no near-dup survive untouched."""
+    from scones.similarity import semdedup
+
+    rows = [
+        (3, [1.0, 0.0, 0.0, 0.0]),
+        (7, [1.0, 0.0, 0.0, 0.0]),   # dup of 3 -> dropped
+        (9, [0.999, 0.001, 0.0, 0.0]),  # near-dup of 3 -> dropped
+        (5, [0.0, 1.0, 0.0, 0.0]),   # orthogonal -> kept
+        (8, [0.0, 0.0, -1.0, 0.0]),  # orthogonal -> kept
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    kept = {r.vec_id for r in semdedup(df, threshold=0.95, bits_per_band=2, n_bands=2).collect()}
+    assert kept == {3, 5, 8}
+
+
+def test_semdedup_survivors_have_no_close_smaller_neighbor(spark):
+    """Corpus-level invariant on the real table: no kept vector has an
+    LSH-candidate near-dup with a smaller kept id (the defining property
+    of greedy keep-min), and survivors form a subset of vec_ids."""
+    from scones.similarity import embedding_near_dup_pairs, near_dup_lsh_params, semdedup
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    r, b = near_dup_lsh_params(df.count(), target_bucket=64)
+    kept = {x.vec_id for x in semdedup(df, 0.3, r, b).collect()}
+    pairs = embedding_near_dup_pairs(df, 0.3, r, b).collect()
+    for p in pairs:
+        assert p.vec_b not in kept  # every pair's larger side was dropped
