@@ -353,14 +353,22 @@ def bench_queries(spark) -> tuple[dict[str, float], list[str]]:
     # unchanged code).  Re-measure such rows once (stalls are transient);
     # rows still implausible after the retry are flagged in the artifact
     # so a poisoned cell reads as SUSPECT, not as a code regression.
+    # Material-gap threshold: sub-second rows are dominated by fixed
+    # per-query overhead (plan + task-wave setup), where the "zipf
+    # carries 40× the bytes" argument doesn't hold — a 0.22 s sf row vs
+    # a 0.15 s zipf row is scheduling noise, not a stall.  The r4
+    # pathology this guard exists for was 20.1 s vs 11.2 s.
+    def implausible(sf_t: float, zipf_t: float) -> bool:
+        return sf_t > max(2.0, 1.5 * zipf_t)
+
     suspects: list[str] = []
     for name in ZIPF_BENCH_QUERIES:
         zk = f"{name}@zipf"
-        if name in times and zk in times and times[name] > times[zk]:
+        if name in times and zk in times and implausible(times[name], times[zk]):
             first = times[name]
             timed(name, SF_DIR, name)
             times[name] = min(first, times[name])
-            if times[name] > times[zk]:
+            if implausible(times[name], times[zk]):
                 suspects.append(name)
     if suspects:
         print(json.dumps({"suspect_rows": suspects}), flush=True)

@@ -17,6 +17,7 @@ reset → 1) in tests/test_backoff_daemon.py.
 
 from __future__ import annotations
 
+import random
 import threading
 import time
 from typing import Callable
@@ -110,6 +111,8 @@ def run_daemon(
     on_event: Callable[[dict], None] | None = None,
     snapshot_timeout_sec: float | None = None,
     session_factory: Callable | None = None,
+    jitter_frac: float = 0.0,
+    jitter_rng: random.Random | None = None,
 ) -> list[dict]:
     """Supervise snapshot runs until stopped (the reference's daemon loop).
 
@@ -144,6 +147,15 @@ def run_daemon(
     the normal failure backoff.  Effectively-once tolerates the re-run:
     the retry replans the same uncommitted inputs into the same
     snapshot id and overwrites idempotently.
+
+    ``jitter_frac`` (DIVERGENCE from the reference: supervisor.go /
+    exponential_backoff.go retry on the exact doubling sequence) spreads
+    each sleep uniformly over ``[d·(1-f), d·(1+f)]`` so a fleet of
+    daemons that failed together (shared sink outage) doesn't retry in
+    lockstep against the recovering service.  Default 0.0 = off =
+    bit-exact reference semantics; the golden backoff test pins the
+    undithered sequence.  ``jitter_rng`` takes a seeded
+    ``random.Random`` for deterministic tests.
     """
     if run_fn is None:
         from .pipeline import run_snapshot
@@ -154,6 +166,13 @@ def run_daemon(
 
     retry = ExponentialBackoff(retry_min_sec, retry_max_sec)
     poll = ExponentialBackoff(poll_min_sec, poll_max_sec)
+    rng = jitter_rng if jitter_rng is not None else random.Random()
+
+    def jittered(d: float) -> float:
+        if jitter_frac <= 0.0:
+            return d
+        return d * (1.0 + jitter_frac * (2.0 * rng.random() - 1.0))
+
     done: list[dict] = []
     iterations = 0
     while True:
@@ -183,7 +202,7 @@ def run_daemon(
                 spark = session_factory(spark)
             except Exception as factory_exc:
                 relaunch_err = repr(factory_exc)
-            delay = retry.next()
+            delay = jittered(retry.next())
             if on_event is not None:
                 on_event(
                     {
@@ -200,13 +219,13 @@ def run_daemon(
             sleep_fn(delay)
             continue
         except Exception as exc:  # retry forever, like the reference
-            delay = retry.next()
+            delay = jittered(retry.next())
             if on_event is not None:
                 on_event({"event": "retry", "delay_sec": delay, "error": repr(exc)})
             sleep_fn(delay)
             continue
         if summary.get("snapshot_id") is None:
-            delay = poll.next()
+            delay = jittered(poll.next())
             if on_event is not None:
                 on_event({"event": "idle", "delay_sec": delay})
             sleep_fn(delay)

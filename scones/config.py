@@ -37,6 +37,10 @@ class PipelineConfig:
     poll_min_sec: float = 1.0  # idle-poll backoff ≈ GlobRefresh cadence
     poll_max_sec: float = 10.0  # (supervisor.go:56, cmd:85)
     snapshot_timeout_sec: float | None = None  # hung-JVM watchdog ceiling
+    # daemon backoff jitter fraction (0.0 = off = reference-exact doubling;
+    # DIVERGENCE when >0: the reference has no jitter — spreads fleet
+    # retries over [d·(1-f), d·(1+f)] to avoid lockstep hammering)
+    retry_jitter_frac: float = 0.0
     stats_port: int | None = None  # statistics HTTP endpoint (cmd:65-75)
     # incremental cross-snapshot dedup: persist a minhash band index per
     # snapshot and report near-dup pairs the snapshot introduces vs the

@@ -397,6 +397,7 @@ def run_from_config(
                 poll_min_sec=cfg.poll_min_sec,
                 poll_max_sec=cfg.poll_max_sec,
                 snapshot_timeout_sec=cfg.snapshot_timeout_sec,
+                jitter_frac=cfg.retry_jitter_frac,
                 stop_event=stop_event,
                 on_event=on_event,
                 max_snapshots=max_snapshots,

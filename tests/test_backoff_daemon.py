@@ -324,3 +324,41 @@ def test_run_snapshot_empty_inputs_commit_zero_row_markers(
     assert committed.column("row_count").to_pylist() == [0]
     # rerun is a no-op (the empty file is consumed)
     assert run_snapshot(spark, cfg)["snapshot_id"] is None
+
+
+def test_retry_jitter_spreads_but_defaults_off():
+    """jitter_frac spreads each retry sleep over [d·(1-f), d·(1+f)]
+    (fleet de-lockstep; DIVERGENCE from the reference, which retries on
+    the exact doubling sequence — documented in run_daemon).  Default
+    0.0 keeps the reference-exact golden sequence, and a seeded rng
+    makes the dithered sequence deterministic.  Pure-Python: a failing
+    run_fn drives the retry path, no Spark session involved."""
+    import random
+
+    def boom(spark, cfg):
+        raise RuntimeError("injected")
+
+    # default: no jitter -> exact doubling from the configured minimum
+    sleeps = []
+    run_daemon(
+        None, None, run_fn=boom, retry_min_sec=1.0, retry_max_sec=10.0,
+        max_iterations=5, sleep_fn=sleeps.append,
+    )
+    assert sleeps == [1.0, 2.0, 4.0, 8.0, 10.0]
+
+    # jitter on: every sleep within ±25% of its undithered value, not
+    # all exactly equal to it, and reproducible under the same seed
+    def dithered():
+        out = []
+        run_daemon(
+            None, None, run_fn=boom, retry_min_sec=1.0, retry_max_sec=10.0,
+            max_iterations=5, sleep_fn=out.append,
+            jitter_frac=0.25, jitter_rng=random.Random(42),
+        )
+        return out
+
+    got = dithered()
+    for d, base in zip(got, [1.0, 2.0, 4.0, 8.0, 10.0]):
+        assert base * 0.75 <= d <= base * 1.25
+    assert got != [1.0, 2.0, 4.0, 8.0, 10.0]
+    assert got == dithered()
