@@ -215,3 +215,16 @@ def test_semdedup_survivors_have_no_close_smaller_neighbor(spark):
     pairs = embedding_near_dup_pairs(df, 0.3, r, b).collect()
     for p in pairs:
         assert p.vec_b not in kept  # every pair's larger side was dropped
+
+
+def test_semdedup_plan_no_cartesian(spark):
+    """semdedup inherits the near-dup candidate plan (bucketed LSH,
+    id-only shuffles) — the defining scale property is that NO stage
+    degenerates to an all-pairs comparison, and the final keep is a
+    hash/sort join, never a Window over the corpus."""
+    from scones.similarity import semdedup
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plan = semdedup(df, 0.3, 4, 2)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
