@@ -139,10 +139,18 @@ def _frame_batch_vectorized(
         # row can never overflow: one Arrow binary cell caps at 2 GiB).
         raise _OffsetOverflow
     out_offsets = out_offs.astype(np.int32)
+    # Zero-copy output assembly: both numpy arrays are fresh contiguous
+    # allocations (astype / boolean-mask indexing), so py_buffer wraps
+    # them via the buffer protocol directly — the previous .tobytes()
+    # duplicated the entire output payload (offsets + text bytes) once
+    # more before Arrow ever saw it, a pure memcpy tax on a host whose
+    # DRAM bandwidth is the flagship's bottleneck (A/B in
+    # BENCH/BASELINE.md §Round 5; byte-identity pinned by the golden +
+    # property framing tests either way).
     extracted = pa.Array.from_buffers(
         pa.binary(),
         n,
-        [None, pa.py_buffer(out_offsets.tobytes()), pa.py_buffer(out_data.tobytes())],
+        [None, pa.py_buffer(out_offsets), pa.py_buffer(out_data)],
     )
     return extracted, n_lines, bytes_read.astype(np.int64)
 
