@@ -1131,6 +1131,91 @@ def dsir_weights_query(spark, sf_dir):
     return dw(docs, target, n_buckets=256)
 
 
+# --- C4 line/page cleaning (Raffel et al. 2020 §2.2; textops.c4_line_filter) ---
+# The documents table is single-line and unpunctuated, so the entry
+# synthesizes a deterministic multi-line "page" from (doc_id, text) —
+# good lines, a too-short line, javascript / lorem-ipsum / curly-brace
+# injections keyed on doc_id residues — and the SQL oracle constructs
+# the IDENTICAL string, then replays the filter with DuckDB list
+# functions (regexp_replace needs the 'g' flag there; Spark replaces
+# globally by default — the one semantic difference to mind).
+
+_C4_SYNTH_SQL = """
+      concat_ws(chr(10),
+        substr(text, 1, 40) || ' ends here.',
+        'short line',
+        CASE WHEN doc_id % 3 = 0 THEN 'Please enable Javascript to view this page.'
+             ELSE substr(text, 41, 30) || ' goes on!' END,
+        CASE WHEN doc_id % 4 = 3 THEN substr(text, 71, 30) || ' no punct trailing'
+             ELSE substr(text, 71, 30) || ' is done?' END,
+        CASE WHEN doc_id % 7 = 0 THEN 'lorem ipsum dolor sit amet.'
+             ELSE 'He said "fine". Right. Ok then. Agreed. Sure.' END,
+        CASE WHEN doc_id % 11 = 0 THEN 'var f = function() { return 1; };'
+             ELSE 'A normal closing sentence appears right here.' END)
+"""
+
+
+def _c4_synth_col():
+    d = F.col("doc_id")
+    t = F.col("text")
+    return F.concat_ws(
+        "\n",
+        F.concat(F.substring(t, 1, 40), F.lit(" ends here.")),
+        F.lit("short line"),
+        F.when(
+            d % 3 == 0, F.lit("Please enable Javascript to view this page.")
+        ).otherwise(F.concat(F.substring(t, 41, 30), F.lit(" goes on!"))),
+        F.when(
+            d % 4 == 3, F.concat(F.substring(t, 71, 30), F.lit(" no punct trailing"))
+        ).otherwise(F.concat(F.substring(t, 71, 30), F.lit(" is done?"))),
+        F.when(d % 7 == 0, F.lit("lorem ipsum dolor sit amet.")).otherwise(
+            F.lit('He said "fine". Right. Ok then. Agreed. Sure.')
+        ),
+        F.when(d % 11 == 0, F.lit("var f = function() { return 1; };")).otherwise(
+            F.lit("A normal closing sentence appears right here.")
+        ),
+    )
+
+
+def _c4_oracle_sql(min_words: int = 3, min_sentences: int = 5) -> str:
+    line_norm = "trim(regexp_replace(x, '[ \\t\\r]+', ' ', 'g'))"
+    keep = (
+        f"regexp_matches(x, '[.!?\"]$') AND len(string_split(x, ' ')) >= {min_words}"
+        " AND NOT contains(lower(x), 'javascript')"
+    )
+    return f"""
+    WITH p AS (SELECT doc_id, ({_C4_SYNTH_SQL}) AS page FROM documents),
+    l AS (SELECT doc_id, page,
+                 list_transform(string_split(page, chr(10)), x -> {line_norm}) AS lines
+          FROM p),
+    k AS (SELECT doc_id, page, lines,
+                 list_filter(lines, x -> {keep}) AS kept FROM l),
+    c AS (SELECT doc_id, page, lines, kept,
+                 coalesce(list_aggr(kept, 'string_agg', chr(10)), '') AS clean_text
+          FROM k)
+    SELECT doc_id, clean_text,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped,
+           (NOT contains(lower(page), 'lorem ipsum')
+            AND NOT contains(page, '{{')
+            AND length(clean_text)
+                - length(regexp_replace(clean_text, '[.!?"]', '', 'g'))
+                >= {min_sentences}) AS doc_kept
+    FROM c
+    """
+
+
+# Zero-exchange row-local projection (plan-locked in test_llmops_extra).
+@_q("c4_line_filter", _c4_oracle_sql())
+def c4_line_filter_query(spark, sf_dir):
+    from scones.textops import c4_line_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _c4_synth_col().alias("text")
+    )
+    return c4_line_filter(docs)
+
+
 # Token-budget sequence packing (concat-and-chunk pretraining layout):
 # deterministic hash order, distributed prefix sum (within-shard window
 # + broadcast shard bases — no global window), integer outputs.  The

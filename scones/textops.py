@@ -1397,3 +1397,63 @@ def dsir_weights(
         F.size(ngrams).cast("bigint").alias("n_ngrams"),
         F.round(weight.cast("double"), 4).alias("weight"),
     )
+
+
+def c4_line_filter(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    min_sentences: int = 5,
+) -> DataFrame:
+    """The C4 cleaning rules (Raffel et al. 2020, §2.2 — the public
+    recipe behind the C4 corpus), line- and page-level:
+
+      * keep only lines ending in a terminal punctuation mark
+        (``. ! ? "``);
+      * drop lines with fewer than ``min_words`` words;
+      * drop lines containing the word "javascript" (case-insensitive);
+      * drop PAGES containing "lorem ipsum" or a curly brace, or whose
+        surviving text has fewer than ``min_sentences`` sentences
+        (sentence count approximated as terminal-punctuation
+        occurrences in the kept text — deterministic and replayable,
+        documented divergence from the paper's langdetect splitter).
+
+    Returns one row per input document: ``(doc_id, clean_text,
+    n_lines_kept, n_lines_dropped, doc_kept)`` — callers filter on
+    ``doc_kept`` (kept here so the drop REASONS stay auditable).
+
+    Scale shape: the entire operator is ONE row-local projection —
+    ``split``/``filter``/``array_join`` higher-order functions, all JVM
+    codegen, ZERO exchanges (plan-locked).  Unlike
+    :func:`paragraph_dedup` there is no cross-document state at all, so
+    at 100 TB this is pure scan-shaped map work that fuses into the
+    ingest stage.
+    """
+    lines = F.transform(
+        F.split(F.col(text_col), "\n"),
+        lambda x: F.trim(F.regexp_replace(x, "[ \t\r]+", " ")),
+    )
+    keep_line = lambda x: (  # noqa: E731 — inline HoF predicate
+        x.rlike('[.!?"]$')
+        & (F.size(F.split(x, " ")) >= min_words)
+        & ~F.lower(x).contains("javascript")
+    )
+    kept = F.filter(lines, keep_line)
+    clean = F.array_join(kept, "\n")
+    n_kept = F.size(kept)
+    n_sentences = F.length(clean) - F.length(
+        F.regexp_replace(clean, '[.!?"]', "")
+    )
+    doc_kept = (
+        ~F.lower(F.col(text_col)).contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+        & (n_sentences >= min_sentences)
+    )
+    return df.select(
+        id_col,
+        clean.alias("clean_text"),
+        n_kept.cast("bigint").alias("n_lines_kept"),
+        (F.size(lines) - n_kept).cast("bigint").alias("n_lines_dropped"),
+        doc_kept.alias("doc_kept"),
+    )

@@ -174,3 +174,48 @@ def test_dsir_weights_rank_target_like_docs_higher(spark):
         for r in dsir_weights(df.repartition(7), target).collect()
     }
     assert got == again
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule on a hand-written page: terminal punctuation, the
+    3-word minimum, the javascript line drop, and every page-level drop
+    (lorem ipsum / curly brace / sentence minimum)."""
+    from scones.textops import c4_line_filter
+
+    good = "This line is properly terminated. Yes it is. Fine. Ok. Sure."
+    page = "\n".join(
+        [
+            good,
+            "no terminal punctuation here",   # dropped: no [.!?"]
+            "Too short.",                     # dropped: < 3 words
+            "Please enable JavaScript now.",  # dropped: javascript
+            'She replied "done".',            # kept: quote terminal
+        ]
+    )
+    rows = [
+        (1, page),
+        (2, "lorem ipsum filler. " + good),   # page dropped: lorem ipsum
+        (3, "code { x } here. " + good),      # page dropped: curly brace
+        (4, "One sentence only here."),       # page dropped: < 5 sentences
+    ]
+    out = {
+        r.doc_id: r
+        for r in c4_line_filter(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    r1 = out[1]
+    assert r1.clean_text == good + "\n" + 'She replied "done".'
+    assert r1.n_lines_kept == 2 and r1.n_lines_dropped == 3
+    assert r1.doc_kept
+    assert not out[2].doc_kept and not out[3].doc_kept and not out[4].doc_kept
+
+
+def test_c4_line_filter_zero_exchange_plan(spark):
+    """The operator is one row-local projection — scan-shaped at 100 TB;
+    any Exchange in the plan is a regression."""
+    from scones.textops import c4_line_filter
+
+    df = spark.createDataFrame([(1, "A line here.")], ["doc_id", "text"])
+    plan = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
