@@ -126,10 +126,12 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "dedup_incremental",
     "dsir_weights",
-    # round-5: URL canonicalization + canonical-URL dedup, SemDeDup
+    # round-5: URL canonicalization + canonical-URL dedup, SemDeDup,
+    # C4 line/page cleaning
     "canonical_urls",
     "url_dedup",
     "semdedup",
+    "c4_line_filter",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary

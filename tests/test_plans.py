@@ -222,3 +222,33 @@ def test_round4_ops_have_scale_safe_plans(spark):
     assert "BroadcastHashJoin" in ps or "BroadcastExchange" in ps
     # exactly two Window nodes: per-shard cumsum + tiny shard-base scan
     assert ps.count("Window") == 2
+
+
+def test_round5_ops_have_scale_safe_plans(spark):
+    """Round-5 operators: the plan properties that make them 100 TB-safe
+    (the executed-plan audit in PLANS.md §Round-5, locked).
+
+    paragraph_dedup: keep-first is the span_dedup recipe — a map-side-
+    combinable min(struct) aggregate, NOT a window rank; no cartesian.
+    domain_profile: every feature folds row-locally; the plan has
+    partial-then-final aggregation (one real shuffle for the rollup).
+    dsir_weights: the scoring pass is scan-shaped — no Window, no
+    cartesian; the 256-entry model reaches the corpus as a literal/
+    broadcast, never a shuffled join of the big side.
+    """
+    qs = entrymod.queries()
+
+    pd_ = _plan(qs["paragraph_dedup"](spark, SF_DIR))
+    assert "Window" not in pd_
+    assert "CartesianProduct" not in pd_
+    assert "partial_min" in pd_ or "partial" in pd_  # map-side combine
+
+    dp = _plan(qs["domain_profile"](spark, SF_DIR))
+    assert "CartesianProduct" not in dp
+    assert "Window" not in dp
+    assert "partial" in dp
+
+    dw = _plan(qs["dsir_weights"](spark, SF_DIR))
+    assert "CartesianProduct" not in dw
+    assert "Window" not in dw
+    assert "SortMergeJoin" not in dw  # model is broadcast/literal-side
