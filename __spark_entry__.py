@@ -1216,6 +1216,243 @@ def c4_line_filter_query(spark, sf_dir):
     return c4_line_filter(docs)
 
 
+# --- Intra-document repeated-line removal (MassiveText/Gopher rule;
+# textops.dedup_lines_within_doc) ---
+# Deterministic multi-line page with INTRA-doc duplicates: a nav line
+# repeated verbatim, repeated again with messy whitespace (same
+# normalized form), a blank line, and a content line repeated at the
+# end.  Both engines build the identical string.
+
+_LINEDUP_SYNTH_SQL = """
+      concat_ws(chr(10),
+        'Home | About | Contact',
+        substr(text, 1, 35) || ' one.',
+        'Home  |  About  |  Contact',
+        '',
+        CASE WHEN doc_id % 2 = 0 THEN substr(text, 36, 35) || ' two.'
+             ELSE substr(text, 1, 35) || ' one.' END,
+        'Home | About | Contact')
+"""
+
+
+def _linedup_synth_col():
+    t = F.col("text")
+    return F.concat_ws(
+        "\n",
+        F.lit("Home | About | Contact"),
+        F.concat(F.substring(t, 1, 35), F.lit(" one.")),
+        F.lit("Home  |  About  |  Contact"),
+        F.lit(""),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.substring(t, 36, 35), F.lit(" two.")),
+        ).otherwise(F.concat(F.substring(t, 1, 35), F.lit(" one."))),
+        F.lit("Home | About | Contact"),
+    )
+
+
+_LINEDUP_ORACLE_SQL = f"""
+    WITH p AS (SELECT doc_id, ({_LINEDUP_SYNTH_SQL}) AS page FROM documents),
+    l AS (SELECT doc_id, string_split(page, chr(10)) AS lines FROM p),
+    n AS (SELECT doc_id, lines,
+                 list_transform(lines,
+                   x -> trim(regexp_replace(x, '[ \\t\\r]+', ' ', 'g'))) AS norms
+          FROM l),
+    k AS (SELECT doc_id, lines,
+                 list_transform(
+                   list_filter(range(1, len(norms) + 1),
+                     i -> norms[i] <> '' AND list_position(norms, norms[i]) = i),
+                   i -> lines[i]) AS kept
+          FROM n)
+    SELECT doc_id,
+           coalesce(list_aggr(kept, 'string_agg', chr(10)), '') AS clean_text,
+           CAST(len(kept) AS BIGINT) AS n_lines_kept,
+           CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped
+    FROM k
+"""
+
+
+# Zero-exchange row-local projection (plan-locked in test_plans round-5b).
+@_q("dedup_lines_in_doc", _LINEDUP_ORACLE_SQL)
+def dedup_lines_in_doc_query(spark, sf_dir):
+    from scones.textops import dedup_lines_within_doc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _linedup_synth_col().alias("text")
+    )
+    return dedup_lines_within_doc(docs)
+
+
+# --- Token-length histogram (corpus audit table; textops.length_histogram) ---
+
+def _length_histogram_oracle_sql(max_pow: int = 10) -> str:
+    case = " ".join(
+        f"WHEN n >= {2 ** p} THEN {2 ** p}"
+        for p in range(max_pow, -1, -1)
+    )
+    return f"""
+    WITH d AS (
+      SELECT len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+      FROM documents
+    )
+    SELECT CAST(CASE {case} ELSE 0 END AS BIGINT) AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM d GROUP BY bucket_lo ORDER BY bucket_lo
+    """
+
+
+# One map-side-combinable groupBy over <= max_pow+2 keys.
+@_q("length_histogram", _length_histogram_oracle_sql())
+def length_histogram_query(spark, sf_dir):
+    from scones.textops import length_histogram
+
+    return length_histogram(_t(spark, sf_dir, "documents"))
+
+
+# --- fastText-style hashed linear quality classifier
+# (textops.quality_classifier; CCNet / LLaMA wiki-ref filter shape) ---
+# The model is a deterministic md5-derived weight dim table so the
+# oracle can rebuild it bit-for-bit; scores are exact integers (weights
+# ship x1000) — no float-summation-order caveat anywhere.
+
+def _quality_classifier_oracle_sql(n_buckets: int = 4096) -> str:
+    nib = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
+    u16 = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4))
+    return f"""
+    WITH model AS (
+      SELECT CAST(b AS INT) AS bucket,
+             CAST(({u16}) % 2001 - 1000 AS BIGINT) AS w
+      FROM (SELECT UNNEST(range(0, {n_buckets})) AS b),
+           LATERAL (SELECT md5('w|' || CAST(b AS VARCHAR)) AS h)
+    ), d AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ), ng AS (
+      SELECT doc_id, UNNEST(list_concat(t,
+        list_transform(range(1, len(t)),
+                       i -> list_extract(t, i) || ' ' || list_extract(t, i + 1))
+      )) AS g
+      FROM d
+    ), hb AS (
+      SELECT doc_id, CAST(({u16}) % {n_buckets} AS INT) AS bucket
+      FROM (SELECT doc_id, md5(g) AS h FROM ng)
+    )
+    SELECT doc_id, COUNT(*) AS n_feats,
+           CAST(SUM(w) AS BIGINT) AS sum_w_x1000,
+           SUM(w) > 0 AS label_keep
+    FROM hb JOIN model USING (bucket)
+    GROUP BY doc_id
+    """
+
+
+# Model-as-dim-table scoring: broadcast hash join + map-side partial agg.
+@_q("quality_classifier", _quality_classifier_oracle_sql())
+def quality_classifier_query(spark, sf_dir):
+    from scones.textops import classifier_model, quality_classifier
+
+    return quality_classifier(
+        _t(spark, sf_dir, "documents"),
+        classifier_model(spark, 4096),
+        n_buckets=4096,
+    )
+
+
+# --- RefinedWeb-style URL blocklist + bad-word gating
+# (urlops.url_blocklist_filter) ---
+# URLs are synthesized with a subdomain layer so the PARENT-domain
+# suffix match is actually exercised (blocking 'srcK.example.com' must
+# also block 'news.srcK.example.com'); bad words are common corpus
+# tokens so the density gate splits the docs.
+
+_BLOCKLIST_DOMAINS = ["src3.example.com", "news.src7.example.com"]
+_BADWORDS = ["slow", "merge"]
+_BADWORD_PERMILLE = 60
+
+_BL_URL_SYNTH_SQL = """
+      'https://' || CASE WHEN doc_id % 2 = 0 THEN 'news.' ELSE '' END
+      || source || '.Example.COM/p/' || CAST(doc_id % 50 AS VARCHAR)
+"""
+
+
+def _bl_url_synth_col():
+    return F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("news.")).otherwise(F.lit("")),
+        F.col("source"),
+        F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+    )
+
+
+def _url_blocklist_oracle_sql() -> str:
+    domains = ", ".join(f"('{d}')" for d in _BLOCKLIST_DOMAINS)
+    badset = ", ".join(f"'{w}'" for w in _BADWORDS)
+    return f"""
+    WITH bl(domain) AS (VALUES {domains}),
+    u AS (
+      SELECT doc_id, ({_BL_URL_SYNTH_SQL}) AS url, text FROM documents
+    ), h AS (
+      SELECT doc_id, text,
+             regexp_replace(regexp_replace(
+               lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)),
+               '^www\\.', ''), ':[0-9]+$', '') AS host
+      FROM u
+    ), s AS (
+      SELECT doc_id, text, host, string_split(host, '.') AS labels FROM h
+    ), sfx AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(labels) + 1),
+                    i -> list_aggr(labels[i:], 'string_agg', '.'))) AS sfx
+      FROM s
+    ), hits AS (
+      SELECT DISTINCT sfx.doc_id FROM sfx
+      JOIN bl ON lower(bl.domain) = sfx.sfx
+    ), flags AS (
+      SELECT s.doc_id, s.text, s.host,
+             (hits.doc_id IS NOT NULL) AS domain_blocked
+      FROM s LEFT JOIN hits ON hits.doc_id = s.doc_id
+    ), toks AS (
+      SELECT doc_id, host, domain_blocked,
+             list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM flags
+    ), m AS (
+      SELECT doc_id, host, domain_blocked,
+             CAST(len(list_filter(t, x -> lower(x) IN ({badset}))) AS BIGINT)
+               AS n_badwords,
+             CAST(len(t) AS BIGINT) AS n_tokens
+      FROM toks
+    )
+    SELECT doc_id, host, domain_blocked, CAST(n_badwords AS INT) AS n_badwords,
+           CAST(n_tokens AS INT) AS n_tokens,
+           ROUND(CASE WHEN n_tokens > 0
+                      THEN n_badwords * 1000 / CAST(n_tokens AS DOUBLE)
+                      ELSE 0.0 END, 6) AS badword_permille,
+           (NOT domain_blocked) AND
+             ROUND(CASE WHEN n_tokens > 0
+                        THEN n_badwords * 1000 / CAST(n_tokens AS DOUBLE)
+                        ELSE 0.0 END, 6) <= {_BADWORD_PERMILLE} AS kept
+    FROM m
+    """
+
+
+# Broadcast blocklist probe over exploded host suffixes; bad-word
+# counter is a row-local JVM fold.
+@_q("url_blocklist", _url_blocklist_oracle_sql())
+def url_blocklist_query(spark, sf_dir):
+    from scones.urlops import url_blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", _bl_url_synth_col().alias("url"), "text"
+    )
+    bl = spark.createDataFrame(
+        [(d,) for d in _BLOCKLIST_DOMAINS], ["domain"]
+    )
+    return url_blocklist_filter(
+        docs, bl, _BADWORDS, max_badword_permille=_BADWORD_PERMILLE
+    )
+
+
 # Token-budget sequence packing (concat-and-chunk pretraining layout):
 # deterministic hash order, distributed prefix sum (within-shard window
 # + broadcast shard bases — no global window), integer outputs.  The

@@ -132,6 +132,12 @@ BENCH_QUERIES = [
     "url_dedup",
     "semdedup",
     "c4_line_filter",
+    # round-5: intra-doc line dedup, length audit, hashed quality
+    # classifier, URL blocklist gating
+    "dedup_lines_in_doc",
+    "length_histogram",
+    "quality_classifier",
+    "url_blocklist",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary

@@ -1457,3 +1457,165 @@ def c4_line_filter(
         (F.size(lines) - n_kept).cast("bigint").alias("n_lines_dropped"),
         doc_kept.alias("doc_kept"),
     )
+
+
+def dedup_lines_within_doc(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Intra-document repeated-line removal (the MassiveText/Gopher
+    "remove duplicate lines within a document" rule — Rae et al. 2021
+    §A.1.2): split on newlines, normalize each line (collapse internal
+    whitespace, trim), keep only the FIRST occurrence of each distinct
+    normalized line within the document (and drop whitespace-only
+    lines), reassemble in original order.  Complements
+    :func:`paragraph_dedup`, which removes repeats CORPUS-wide — this
+    is the row-local pre-pass that strips per-page boilerplate
+    (headers repeated by pagination, quoted reply chains) without any
+    cross-document state.
+
+    Returns ``(doc_id, clean_text, n_lines_kept, n_lines_dropped)``
+    for every input document.
+
+    Scale shape: the entire operator is ONE row-local projection —
+    split/transform/filter higher-order functions over the line array,
+    first-occurrence via ``array_position`` (first index of the
+    normalized form), all JVM codegen, ZERO exchanges (plan-locked).
+    The per-doc cost is O(lines²) string compares, bounded by page
+    size, not corpus size — scan-shaped at 100 TB.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    norms = F.transform(
+        lines, lambda x: F.trim(F.regexp_replace(x, "[ \t\r]+", " "))
+    )
+    kept = F.filter(
+        lines,
+        lambda x, i: (
+            F.element_at(norms, i + F.lit(1)) != F.lit("")
+        )
+        & (
+            F.array_position(norms, F.element_at(norms, i + F.lit(1)))
+            == (i + F.lit(1)).cast("long")
+        ),
+    )
+    return df.select(
+        id_col,
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("bigint").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("bigint").alias("n_lines_dropped"),
+    )
+
+
+def length_histogram(
+    df: DataFrame,
+    text_col: str = "text",
+    max_pow: int = 10,
+) -> DataFrame:
+    """Token-length distribution of the corpus: per power-of-two length
+    bucket ``[bucket_lo, 2*bucket_lo)`` (plus the open top bucket), the
+    document count and total token mass — the first audit table anyone
+    builds before sizing context windows / packing budgets.
+
+    Buckets: 0 (empty docs), 1, 2, 4, … 2**max_pow, with everything
+    ≥ 2**max_pow in the top bucket.  Returns ``(bucket_lo, n_docs,
+    total_tokens)`` sorted by bucket.
+
+    Scale shape: the bucket key is a row-local integer expression and
+    the rollup is ONE map-side-combinable groupBy over ≤ max_pow+2
+    distinct keys — the shuffle carries a handful of partial rows per
+    task regardless of corpus size.
+    """
+    n = F.size(tokens_col(text_col))
+    bucket = F.lit(0)
+    for p in range(max_pow + 1):
+        lo = 2 ** p
+        bucket = F.when(n >= lo, F.lit(lo)).otherwise(bucket)
+    return (
+        df.select(bucket.cast("bigint").alias("bucket_lo"), n.alias("n"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n").cast("bigint").alias("total_tokens"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+def classifier_model(spark, n_buckets: int = 4096) -> DataFrame:
+    """Deterministic hashed-linear model dim table ``(bucket, w_x1000)``
+    — the stand-in for a trained fastText/CCNet quality classifier's
+    weight vector (no model files ship in this sandbox; the *pipeline*
+    contract — hashing-trick features, model-as-dim-table, broadcast
+    scoring join — is what this exercises, and a real weight table
+    drops in with the same schema).  Weights are integers in
+    [-1000, 1000] derived from md5 so the SQL oracle replays them
+    exactly: ``w_x1000 = md5_u16('w|' || bucket) % 2001 - 1000``.
+    """
+    return spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        (
+            md5_hash16(F.concat(F.lit("w|"), F.col("id").cast("string"))) % 2001
+            - 1000
+        )
+        .cast("bigint")
+        .alias("w_x1000"),
+    )
+
+
+def quality_classifier(
+    df: DataFrame,
+    model: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """fastText-style linear quality scoring (the CCNet / LLaMA
+    wiki-reference filter shape, Wenzek et al. 2020 §4.3): features are
+    the doc's unigrams AND word-bigrams under the hashing trick
+    (``bucket = md5_u16(feat) % n_buckets``); the score is the summed
+    model weight over feature instances; the keep label is its sign.
+
+    Returns ``(doc_id, n_feats, sum_w_x1000, label_keep)`` — the sum is
+    an exact INTEGER (weights ship ×1000), so Spark and the SQL oracle
+    agree bit-for-bit with no float-summation-order caveat, and the
+    sigmoid is monotone in it (consumers wanting a probability apply
+    ``σ(sum/(1000·n))`` downstream; the gate itself only needs the
+    sign).
+
+    Scale shape: this is the model-as-dim-table pattern — a real
+    classifier has 10⁵-10⁷ hashed buckets, too big for a literal array
+    (the :func:`dsir_weights` zero-shuffle path) but trivially
+    **broadcast** as a join side.  Features explode to 8-byte
+    ``(doc_id, bucket)`` ints (bodies never shuffle), the model join is
+    broadcast-hash, and the per-doc rollup partial-aggregates map-side
+    — a doc's exploded rows stay in its partition, so the exchange
+    carries ~1 combined row per document.
+    """
+    from pyspark.sql.functions import broadcast
+
+    toks = tokens_col(text_col)
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + F.lit(1))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    feats = F.concat(toks, bigrams)
+    exploded = df.select(
+        id_col, F.explode(feats).alias("feat")
+    ).select(
+        id_col, (md5_hash16(F.col("feat")) % n_buckets).cast("int").alias("bucket")
+    )
+    return (
+        exploded.join(broadcast(model), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum("w_x1000").cast("bigint").alias("sum_w_x1000"),
+        )
+        .withColumn("label_keep", F.col("sum_w_x1000") > 0)
+    )

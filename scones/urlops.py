@@ -134,3 +134,100 @@ def oracle_canonical_sql(url_expr: str) -> str:
                       'string_agg', '&')
               END, '')""",
     )
+
+
+def host_col(url: Column) -> Column:
+    """Canonical host of ``url``: lowercase, ``www.`` and port stripped
+    (the host component of :func:`canonical_url_col`, reusable alone)."""
+    hostport = F.lower(F.regexp_extract(url, _HOSTPORT_RE, 1))
+    hostport = F.regexp_replace(hostport, "^www\\.", "")
+    return F.regexp_replace(hostport, ":[0-9]+$", "")
+
+
+def domain_suffixes_col(host: Column) -> Column:
+    """All dot-suffixes of a host, most-specific first:
+    ``a.b.example.com`` → ``[a.b.example.com, b.example.com,
+    example.com, com]`` — the candidate keys a domain-blocklist match
+    probes (a blocklist entry blocks itself AND every subdomain, the
+    standard crawl-filter semantics, cf. RefinedWeb §URL filtering).
+    Row-local: labels number ~4-6, so the explode fan-out is tiny."""
+    labels = F.split(host, "\\.")
+    n = F.size(labels)
+    return F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n - i + 1), "."),
+    )
+
+
+def url_blocklist_filter(
+    df: DataFrame,
+    blocklist: DataFrame,
+    badwords: list[str],
+    max_badword_permille: int = 50,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RefinedWeb-style document gating on two public-recipe signals:
+
+      * **domain blocklist** — the host (or ANY parent domain of it)
+        appears in ``blocklist`` (one ``domain: string`` column);
+      * **bad-word density** — blocklisted words exceed
+        ``max_badword_permille`` per thousand tokens (case-insensitive
+        whole-token match against ``badwords``).
+
+    Returns one row per input doc: ``(doc_id, host, domain_blocked,
+    n_badwords, n_tokens, badword_permille, kept)`` — flags, not a
+    filter, so drop REASONS stay auditable (the c4_line_filter
+    contract).
+
+    Scale shape: the bad-word counter is a row-local JVM fold (the
+    lexicon is a bounded literal array).  The domain probe explodes
+    each doc's ~5 host suffixes and hash-joins the 8-byte
+    ``(doc_id, suffix)`` pairs against the **broadcast** blocklist dim
+    (a blocklist is ~10^5-10^6 rows — dim-table scale); hits are
+    reduced to a distinct id set whose size is bounded by the blocked
+    fraction, then joined back (AQE picks broadcast when small).  Page
+    bodies never shuffle.
+    """
+    from pyspark.sql.functions import broadcast
+
+    host = host_col(F.col(url_col)).alias("host")
+    toks = F.filter(F.split(F.col(text_col), " "), lambda x: x != F.lit(""))
+    bad = F.array([F.lit(w.lower()) for w in badwords])
+    n_bad = F.size(F.filter(toks, lambda x: F.array_contains(bad, F.lower(x))))
+    base = df.select(
+        id_col,
+        host,
+        F.size(toks).alias("n_tokens"),
+        n_bad.alias("n_badwords"),
+    )
+    hits = (
+        base.select(id_col, F.explode(domain_suffixes_col(F.col("host"))).alias("sfx"))
+        .join(
+            broadcast(blocklist.select(F.lower("domain").alias("sfx"))), "sfx"
+        )
+        .select(id_col)
+        .distinct()
+        .withColumn("domain_blocked", F.lit(True))
+    )
+    permille = (
+        F.when(F.col("n_tokens") > 0, (F.col("n_badwords") * 1000) / F.col("n_tokens"))
+        .otherwise(F.lit(0.0))
+    )
+    return (
+        base.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "host",
+            F.coalesce("domain_blocked", F.lit(False)).alias("domain_blocked"),
+            "n_badwords",
+            "n_tokens",
+            F.round(permille, 6).alias("badword_permille"),
+        )
+        .withColumn(
+            "kept",
+            ~F.col("domain_blocked")
+            & (F.col("badword_permille") <= F.lit(float(max_badword_permille))),
+        )
+    )

@@ -219,3 +219,102 @@ def test_c4_line_filter_zero_exchange_plan(spark):
     df = spark.createDataFrame([(1, "A line here.")], ["doc_id", "text"])
     plan = c4_line_filter(df)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_dedup_lines_within_doc_rules(spark):
+    """First occurrence wins; whitespace-normalized repeats and blank
+    lines drop; order is preserved."""
+    from scones.textops import dedup_lines_within_doc
+
+    page = "\n".join(
+        [
+            "Home | About",
+            "real text one.",
+            "Home  |  About",   # same normalized form -> dropped
+            "",                 # blank -> dropped
+            "real text two.",
+            "real text one.",   # exact repeat -> dropped
+        ]
+    )
+    r = dedup_lines_within_doc(
+        spark.createDataFrame([(1, page)], ["doc_id", "text"])
+    ).collect()[0]
+    assert r.clean_text == "Home | About\nreal text one.\nreal text two."
+    assert r.n_lines_kept == 3 and r.n_lines_dropped == 3
+
+
+def test_dedup_lines_within_doc_zero_exchange_plan(spark):
+    from scones.textops import dedup_lines_within_doc
+
+    df = spark.createDataFrame([(1, "a.\nb.")], ["doc_id", "text"])
+    plan = (
+        dedup_lines_within_doc(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
+def test_length_histogram_buckets(spark):
+    from scones.textops import length_histogram
+
+    rows = [(1, ""), (2, "a"), (3, "a b c"), (4, " ".join(["t"] * 17))]
+    got = {
+        r.bucket_lo: (r.n_docs, r.total_tokens)
+        for r in length_histogram(
+            spark.createDataFrame(rows, ["doc_id", "text"])
+        ).collect()
+    }
+    assert got == {0: (1, 0), 1: (1, 1), 2: (1, 3), 16: (1, 17)}
+
+
+def test_quality_classifier_exact_and_deterministic(spark):
+    """Integer scores match a hand-computed feature walk and are
+    partition-count-invariant (retry/layout stability)."""
+    from scones.textops import classifier_model, md5_hash16, quality_classifier
+
+    model = classifier_model(spark, 64)
+    w = {r.bucket: r.w_x1000 for r in model.collect()}
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "beta")], ["doc_id", "text"]
+    )
+    feats1 = ["alpha", "beta", "gamma", "alpha beta", "beta gamma"]
+    b = {
+        r.f: r.b
+        for r in spark.createDataFrame(
+            [(f,) for f in feats1 + ["beta"]], ["f"]
+        )
+        .select("f", (md5_hash16(F.col("f")) % 64).cast("int").alias("b"))
+        .collect()
+    }
+    got = {
+        r.doc_id: (r.n_feats, r.sum_w_x1000, r.label_keep)
+        for r in quality_classifier(docs, model, 64).collect()
+    }
+    exp1 = sum(w[b[f]] for f in feats1)
+    assert got[1] == (5, exp1, exp1 > 0)
+    assert got[2] == (1, w[b["beta"]], w[b["beta"]] > 0)
+    again = {
+        r.doc_id: (r.n_feats, r.sum_w_x1000, r.label_keep)
+        for r in quality_classifier(docs.repartition(7), model, 64).collect()
+    }
+    assert got == again
+
+
+def test_quality_classifier_plan_broadcasts_model(spark):
+    """The model join must be broadcast-hash (dim-table pattern) with a
+    map-side partial aggregate; no sort-merge join, no cartesian."""
+    from scones.textops import classifier_model, quality_classifier
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = (
+        quality_classifier(docs, classifier_model(spark, 4096), 4096)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "partial" in plan

@@ -75,3 +75,55 @@ def test_url_dedup_partial_agg(spark):
     )
     plan = url_dedup(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("HashAggregate") >= 2
+
+
+def test_url_blocklist_suffix_and_density(spark):
+    """A blocklist entry blocks itself AND subdomains; the bad-word gate
+    is a per-mille density, not a count; empty docs never divide by 0."""
+    from scones.urlops import url_blocklist_filter
+
+    bl = spark.createDataFrame([("spam.example.com",), ("bad.net",)], ["domain"])
+    docs = spark.createDataFrame(
+        [
+            (1, "https://www.sub.spam.example.com:443/x", "clean text here"),
+            (2, "http://ok.example.com/y", "bad bad bad word ok ok ok ok ok ok"),
+            (3, "https://fine.org/z?a=1", ""),
+            (4, "https://BAD.net/q", "anything"),
+        ],
+        ["doc_id", "url", "text"],
+    )
+    got = {
+        r.doc_id: r
+        for r in url_blocklist_filter(
+            docs, bl, ["bad", "word"], max_badword_permille=350
+        ).collect()
+    }
+    assert got[1].domain_blocked and not got[1].kept
+    assert not got[2].domain_blocked
+    assert got[2].n_badwords == 4 and got[2].n_tokens == 10
+    assert got[2].badword_permille == 400.0 and not got[2].kept
+    assert got[3].n_tokens == 0 and got[3].badword_permille == 0.0 and got[3].kept
+    assert got[4].domain_blocked  # case-insensitive host match
+
+
+def test_url_blocklist_plan_broadcasts_blocklist(spark):
+    from pyspark.sql import functions as F
+    from scones.urlops import url_blocklist_filter
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select(
+            "doc_id",
+            F.concat(F.lit("https://"), "source", F.lit(".example.com/p")).alias("url"),
+            "text",
+        )
+    )
+    bl = spark.createDataFrame([("src3.example.com",)], ["domain"])
+    plan = (
+        url_blocklist_filter(docs, bl, ["slow"])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
