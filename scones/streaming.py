@@ -334,3 +334,31 @@ def windowed_host_counts(
             F.sum(F.octet_length("html")).alias("n_bytes"),
         )
     )
+
+
+def streaming_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("url",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup on the ingest key(s) — the incremental
+    flavor of textops.dedup_exact / the lineage anti-join: a re-crawled
+    page arriving twice within the watermark horizon is emitted once.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+): dedup state is
+    EVICTED once an event-time key ages past the watermark, so state
+    size is O(keys per watermark window), not O(all keys ever) — the
+    property that makes streaming dedup survivable on an unbounded
+    crawl (plain ``dropDuplicates`` on a stream grows state forever).
+    Cross-horizon dedup stays the batch layer's job (the persisted
+    minhash band index / lineage anti-join, scones/incremental.py) —
+    the standard lambda split for 100 TB ingest.
+
+    Falls back to plain ``dropDuplicates`` on a BATCH DataFrame so the
+    same plan definition runs in both modes (the module's contract).
+    """
+    if not stream.isStreaming:
+        return stream.dropDuplicates(list(key_cols))
+    return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
