@@ -658,6 +658,46 @@ def decontaminate(spark, sf_dir):
     return dc(docs, bench, k=5).select("doc_id", "is_contaminated")
 
 
+# Graded decontamination: per-doc overlap FRACTION (severity, not just
+# the boolean) — same broadcast eval-shingle probe, LEFT join so the
+# denominator counts misses too.
+@_q(
+    "contamination_frac",
+    """
+    WITH t AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(toks, i, i + 4), ' ') AS shingle
+      FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks) - 3)) AS i
+            FROM t WHERE len(toks) >= 5)
+    ), bench AS (
+      SELECT DISTINCT shingle FROM sh WHERE doc_id < 5
+    ), probed AS (
+      SELECT s.doc_id,
+             CASE WHEN b.shingle IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM sh s LEFT JOIN bench b USING (shingle)
+    ), per AS (
+      SELECT doc_id, COUNT(*) AS n, SUM(hit) AS h FROM probed GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(per.n, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(per.h, 0) AS BIGINT) AS n_hits,
+           ROUND(CASE WHEN COALESCE(per.n, 0) > 0
+                      THEN per.h / CAST(per.n AS DOUBLE) ELSE 0.0 END, 6)
+             AS contamination
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """,
+)
+def contamination_frac_query(spark, sf_dir):
+    from scones.textops import contamination_fraction
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") < 5).select("doc_id", "text")
+    return contamination_fraction(docs, bench, k=5)
+
+
 def _shard_oracle_sql(n_shards: int, seed: int) -> str:
     nib = (
         "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
@@ -809,10 +849,11 @@ def doc_freq_stats(spark, sf_dir):
 # to 9 places and summed EXACTLY as decimal in both engines, so the
 # per-doc aggregate is order-insensitive before the final round to 4
 # (round-4 ADVICE: a double AVG near a .00005 boundary could flip).
-@_q(
-    "lm_perplexity",
-    """
-    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+# Shared CTE block: the bigram-LM scoring replay (used by both
+# lm_perplexity and its CCNet tercile split, so the two oracles cannot
+# drift apart).
+_LM_SQL_CTES = """
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
     uni AS (SELECT UNNEST(t) AS w1 FROM tok),
     uc AS (SELECT w1, COUNT(*) AS cu FROM uni GROUP BY w1),
     v AS (SELECT COUNT(DISTINCT w1) AS vs FROM uni),
@@ -826,21 +867,59 @@ def doc_freq_stats(spark, sf_dir):
     scored AS (
       SELECT doc_id, -log2((cb + 1) / (cu + v.vs)) AS nll
       FROM bgf JOIN bc USING (w1, w2) JOIN uc USING (w1), v
+    ),
+    lm AS (
+      SELECT d.doc_id, COALESCE(s.n, 0) AS n_bigrams,
+             COALESCE(s.b, 0.0) AS bits_per_bigram
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(ROUND(nll, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                     / COUNT(*), 4) AS b
+        FROM scored GROUP BY doc_id
+      ) s ON d.doc_id = s.doc_id
     )
-    SELECT d.doc_id, COALESCE(s.n, 0) AS n_bigrams,
-           COALESCE(s.b, 0.0) AS bits_per_bigram
-    FROM documents d LEFT JOIN (
-      SELECT doc_id, COUNT(*) AS n,
-             ROUND(CAST(SUM(CAST(ROUND(nll, 9) AS DECIMAL(28,9))) AS DOUBLE)
-                   / COUNT(*), 4) AS b
-      FROM scored GROUP BY doc_id
-    ) s ON d.doc_id = s.doc_id
+"""
+
+
+@_q(
+    "lm_perplexity",
+    f"""
+    WITH {_LM_SQL_CTES}
+    SELECT doc_id, n_bigrams, bits_per_bigram FROM lm
     """,
 )
 def lm_perplexity(spark, sf_dir):
     from scones.textops import lm_perplexity as lmp
 
     return lmp(_t(spark, sf_dir, "documents"))
+
+
+# CCNet head/middle/tail split (Wenzek et al. 2020 §4.4): per-language
+# perplexity terciles over the bigram-LM scores; NTILE ordered by
+# (score, doc_id) is deterministic because bits_per_bigram is already
+# engine-equal (rounded to 4) and the id breaks ties.
+@_q(
+    "ccnet_buckets",
+    f"""
+    WITH {_LM_SQL_CTES}
+    SELECT l.doc_id, d.lang, l.bits_per_bigram,
+           CAST(NTILE(3) OVER (PARTITION BY d.lang
+                               ORDER BY l.bits_per_bigram, l.doc_id) AS INT)
+             AS bucket,
+           CASE NTILE(3) OVER (PARTITION BY d.lang
+                               ORDER BY l.bits_per_bigram, l.doc_id)
+                WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END
+             AS label
+    FROM lm l JOIN documents d ON d.doc_id = l.doc_id
+    """,
+)
+def ccnet_buckets_query(spark, sf_dir):
+    from scones.textops import lm_perplexity as lmp
+    from scones.textops import quantile_buckets
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lmp(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return quantile_buckets(scored, "bits_per_bigram", group_col="lang")
 
 
 def _pack_oracle_sql(budget: int, n_shards: int, seed: int) -> str:
@@ -2453,6 +2532,30 @@ def _embedding_near_dup_oracle() -> str:
     return _near_dup_oracle_sql(r, b, 0.3)
 
 
+# Per-group mean embedding (cluster/domain centroids), long format —
+# the SemDeDup-style cluster primitive.  Components pre-round to 9 and
+# sum as decimal (lm_perplexity recipe) so the mean is engine-exact.
+@_q(
+    "label_centroids",
+    """
+    WITH e AS (
+      SELECT label,
+             UNNEST(range(0, len(embedding))) AS pos,
+             UNNEST(embedding) AS x
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INT) AS pos,
+           COUNT(*) AS n_vecs,
+           ROUND(CAST(SUM(CAST(ROUND(CAST(x AS DOUBLE), 9)
+                               AS DECIMAL(28,9))) AS DOUBLE)
+                 / COUNT(*), 6) AS c
+    FROM e GROUP BY label, pos
+    """,
+)
+def label_centroids_query(spark, sf_dir):
+    return similarity.label_centroids(_t(spark, sf_dir, "embeddings"))
+
+
 # --------------------------------------------------------------------------
 # Driver contract surface
 # --------------------------------------------------------------------------
@@ -2497,6 +2600,14 @@ _RUN_FIRST = [
     "canonical_urls",
     "url_dedup",
     "semdedup",
+    "c4_line_filter",
+    "dedup_lines_in_doc",
+    "length_histogram",
+    "quality_classifier",
+    "url_blocklist",
+    "contamination_frac",
+    "ccnet_buckets",
+    "label_centroids",
 ]
 
 

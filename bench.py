@@ -138,6 +138,10 @@ BENCH_QUERIES = [
     "length_histogram",
     "quality_classifier",
     "url_blocklist",
+    # round-5: graded decontamination, CCNet terciles, centroids
+    "contamination_frac",
+    "ccnet_buckets",
+    "label_centroids",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary

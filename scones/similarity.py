@@ -459,3 +459,37 @@ def semdedup(
     )
     losers = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     return df.select("vec_id").join(losers, "vec_id", "left_anti")
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Per-group mean embedding (cluster/domain centroids) in LONG
+    format: one row per (label, dimension) with the member count and
+    the mean component — the primitive behind SemDeDup-style cluster
+    pruning and per-domain embedding profiles (centroids feed back
+    into a broadcast join, for which long format is already right).
+
+    Returns ``(label, pos, n_vecs, c)`` with ``pos`` 0-based and ``c``
+    the mean rounded to 6.
+
+    Scale shape: posexplode multiplies rows ×D, but the (label, pos)
+    aggregate PARTIAL-combines map-side, so the exchange carries
+    ≤ labels×D partial rows per task — independent of corpus size.
+    Determinism: components widen float→double (exact), pre-round to 9,
+    and sum as decimal (the lm_perplexity recipe), so the mean is
+    engine-exact with no float-summation-order caveat.
+    """
+    e = df.select(
+        label_col, F.posexplode(vec_col).alias("pos", "x")
+    ).select(
+        label_col,
+        "pos",
+        F.round(F.col("x").cast("double"), 9).cast("decimal(28,9)").alias("xd"),
+    )
+    return e.groupBy(label_col, "pos").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.round(F.sum("xd").cast("double") / F.count(F.lit(1)), 6).alias("c"),
+    )

@@ -1619,3 +1619,104 @@ def quality_classifier(
         )
         .withColumn("label_keep", F.col("sum_w_x1000") > 0)
     )
+
+
+def contamination_fraction(
+    df: DataFrame,
+    benchmark: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Graded benchmark decontamination: per-document FRACTION of its
+    distinct k-word shingles that appear in the evaluation corpus —
+    the severity signal behind :func:`decontaminate`'s boolean (GPT-3
+    appendix C drops on any overlap; later pipelines threshold the
+    fraction so a quoted sentence doesn't kill a whole book).
+
+    Returns ``(doc_id, n_shingles, n_hits, contamination)`` for every
+    input doc; docs with < k tokens have 0 shingles and contamination
+    0.0.  Counts are exact integers; the fraction is one IEEE division
+    rounded to 6 — deterministic across engines.
+
+    Scale shape: same probe as :func:`decontaminate` — the eval
+    shingle set is **broadcast** and the corpus's exploded shingles
+    stream past it map-side (LEFT join keeps misses so the denominator
+    is right); the per-doc rollup partial-aggregates before its
+    id-keyed exchange, and only (doc_id, 2 ints) rows come back to the
+    corpus join.  Bodies never shuffle.
+    """
+    corpus_sh = shingles(df, k=k)
+    bench_sh = (
+        shingles(benchmark, k=k)
+        .select("shingle")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    per_doc = (
+        corpus_sh.join(F.broadcast(bench_sh), "shingle", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.coalesce("hit", F.lit(0))).alias("n_hits"),
+        )
+    )
+    return (
+        df.select(id_col)
+        .join(per_doc, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_shingles", F.lit(0)).cast("bigint").alias("n_shingles"),
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.when(
+                    F.col("n_shingles") > 0,
+                    F.col("n_hits") / F.col("n_shingles"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("contamination"),
+        )
+    )
+
+
+def quantile_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-group quantile bucketing of a score column — the CCNet
+    head/middle/tail split (Wenzek et al. 2020 §4.4: per-language
+    perplexity terciles; training recipes then keep head+middle or
+    sample by bucket).  ``bucket`` is ``NTILE(n_buckets)`` ordered by
+    (score asc, id asc) — the id tiebreak makes the split deterministic
+    and retry-stable; ``label`` names the CCNet terciles (bucket 1 =
+    lowest score = "head").
+
+    Scale shape: ONE window rank per group — the same shape (and the
+    same caveat) as :func:`source_quota`: groups are languages (~10²),
+    so per-group data is corpus-sized/100 and skewed toward English;
+    AQE skew handling applies, and at the extreme scale the production
+    swap is histogram-derived thresholds (compute each group's score
+    histogram with one map-side-combinable groupBy, broadcast the
+    cutoffs back — same outputs, no global per-group sort).  CCNet
+    itself materializes exactly this per-language sorted split offline.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc()
+    )
+    b = F.ntile(n_buckets).over(w)
+    label = (
+        F.when(b == 1, F.lit("head"))
+        .when(b == n_buckets, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return df.select(
+        id_col,
+        group_col,
+        score_col,
+        b.alias("bucket"),
+        label.alias("label"),
+    )

@@ -318,3 +318,77 @@ def test_quality_classifier_plan_broadcasts_model(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "partial" in plan
+
+
+def test_contamination_fraction_values(spark):
+    """Hand-checked fractions; shingle-less docs get 0.0; the boolean
+    decontaminate flag must equal (fraction > 0)."""
+    from scones.textops import contamination_fraction, decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # shingles: abcde, bcdef
+            (2, "a b c d e x y"),    # abcde hit, bcdex/cdexy miss
+            (3, "p q r s t"),        # no overlap
+            (4, "too short"),        # < 5 tokens -> 0 shingles
+        ],
+        ["doc_id", "text"],
+    )
+    bench = spark.createDataFrame([(100, "z a b c d e z")], ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_shingles, r.n_hits, r.contamination)
+        for r in contamination_fraction(docs, bench, k=5).collect()
+    }
+    assert got[1] == (2, 1, 0.5)
+    assert got[2] == (3, 1, round(1 / 3, 6))
+    assert got[3] == (1, 0, 0.0)
+    assert got[4] == (0, 0, 0.0)
+    flags = {
+        r.doc_id: r.is_contaminated
+        for r in decontaminate(docs, bench, k=5).collect()
+    }
+    assert flags == {d: got[d][2] > 0 for d in got}
+
+
+def test_contamination_fraction_plan_broadcasts_eval_side(spark):
+    from scones.textops import contamination_fraction
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    bench = docs.limit(5).select("doc_id", "text")
+    plan = (
+        contamination_fraction(docs, bench, k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_quantile_buckets_ccnet_split(spark):
+    """Deterministic per-group terciles: 6 rows per group -> 2/2/2;
+    head = lowest score; ties broken by id (retry-stable)."""
+    from scones.textops import quantile_buckets
+
+    rows = [(i, "en", float(i)) for i in range(6)] + [
+        (10, "zh", 5.0),
+        (11, "zh", 5.0),   # tie with 10 -> id order decides
+        (12, "zh", 1.0),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "score"])
+    got = {
+        r.doc_id: (r.bucket, r.label)
+        for r in quantile_buckets(df, "score", group_col="lang").collect()
+    }
+    assert [got[i][1] for i in range(6)] == [
+        "head", "head", "middle", "middle", "tail", "tail"
+    ]
+    assert got[12] == (1, "head")
+    assert got[10] == (2, "middle") and got[11] == (3, "tail")
+    again = {
+        r.doc_id: (r.bucket, r.label)
+        for r in quantile_buckets(
+            df.repartition(7), "score", group_col="lang"
+        ).collect()
+    }
+    assert got == again

@@ -228,3 +228,43 @@ def test_semdedup_plan_no_cartesian(spark):
     plan = semdedup(df, 0.3, 4, 2)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
+
+
+def test_label_centroids_exact_and_partition_invariant(spark):
+    """Means match exact arithmetic per (label, pos); long format; the
+    decimal-sum recipe makes the result independent of row layout."""
+    from scones.similarity import label_centroids
+
+    rows = [
+        (1, [1.0, 2.0], 0),
+        (2, [3.0, 4.0], 0),
+        (3, [10.0, 0.5], 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    got = {
+        (r.label, r.pos): (r.n_vecs, r.c)
+        for r in label_centroids(df).collect()
+    }
+    assert got == {
+        (0, 0): (2, 2.0),
+        (0, 1): (2, 3.0),
+        (1, 0): (1, 10.0),
+        (1, 1): (1, 0.5),
+    }
+    again = {
+        (r.label, r.pos): (r.n_vecs, r.c)
+        for r in label_centroids(df.repartition(5)).collect()
+    }
+    assert got == again
+
+
+def test_label_centroids_plan_partial_agg(spark):
+    """The (label, pos) rollup must partial-combine map-side — the
+    property that keeps the exchange at labels x dims rows per task."""
+    from scones.similarity import label_centroids
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    plan = label_centroids(df)._jdf.queryExecution().executedPlan().toString()
+    assert "partial" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1
