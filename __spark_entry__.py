@@ -897,10 +897,11 @@ def lm_perplexity(spark, sf_dir):
 # CCNet head/middle/tail split (Wenzek et al. 2020 §4.4): per-language
 # perplexity terciles over the bigram-LM scores; NTILE ordered by
 # (score, doc_id) is deterministic because bits_per_bigram is already
-# engine-equal (rounded to 4) and the id breaks ties.
-@_q(
-    "ccnet_buckets",
-    f"""
+# engine-equal (rounded to 4) and the id breaks ties.  The SAME oracle
+# gates both implementations — the corpus-window NTILE and the
+# histogram-threshold production path — so they are pinned equal to
+# each other through the shared SQL, ties included.
+_CCNET_NTILE_SQL = f"""
     WITH {_LM_SQL_CTES}
     SELECT l.doc_id, d.lang, l.bits_per_bigram,
            CAST(NTILE(3) OVER (PARTITION BY d.lang
@@ -911,8 +912,10 @@ def lm_perplexity(spark, sf_dir):
                 WHEN 1 THEN 'head' WHEN 3 THEN 'tail' ELSE 'middle' END
              AS label
     FROM lm l JOIN documents d ON d.doc_id = l.doc_id
-    """,
-)
+    """
+
+
+@_q("ccnet_buckets", _CCNET_NTILE_SQL)
 def ccnet_buckets_query(spark, sf_dir):
     from scones.textops import lm_perplexity as lmp
     from scones.textops import quantile_buckets
@@ -920,6 +923,19 @@ def ccnet_buckets_query(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     scored = lmp(docs).join(docs.select("doc_id", "lang"), "doc_id")
     return quantile_buckets(scored, "bits_per_bigram", group_col="lang")
+
+
+@_q("ccnet_buckets_hist", _CCNET_NTILE_SQL)
+def ccnet_buckets_hist_query(spark, sf_dir):
+    """Histogram-threshold production variant (TODO #4): exact NTILE
+    output with no corpus-sized window — both Window nodes run over the
+    compressed histogram / the boundary-straddling tie bins only."""
+    from scones.textops import histogram_buckets
+    from scones.textops import lm_perplexity as lmp
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = lmp(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    return histogram_buckets(scored, "bits_per_bigram", group_col="lang")
 
 
 def _pack_oracle_sql(budget: int, n_shards: int, seed: int) -> str:

@@ -1720,3 +1720,100 @@ def quantile_buckets(
         b.alias("bucket"),
         label.alias("label"),
     )
+
+
+def histogram_buckets(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "lang",
+    n_buckets: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Histogram-threshold variant of :func:`quantile_buckets` — the
+    production path at extreme scale (the swap documented in
+    quantile_buckets' docstring): instead of one NTILE window over every
+    corpus row per group, compress each group to its score HISTOGRAM
+    first, derive the bucket boundaries from cumulative bin counts, and
+    join the bucket assignment back.  Output is IDENTICAL to
+    quantile_buckets — exact NTILE(n) ordered by (score, id) — because
+    the one case thresholds cannot decide (a tie class of equal scores
+    straddling a bucket boundary) is resolved by ranking ONLY the
+    straddling bins' rows by id.
+
+    Scale shape (why this replaces the per-group corpus sort):
+    - the histogram is ONE map-side-combinable groupBy(group, score);
+      scores arrive pre-rounded (4 decimals from lm_perplexity), so
+      bins are bounded (~10^4-10^5 per group), independent of corpus
+      row count;
+    - both Window nodes run over METADATA-scale inputs: cumulative
+      counts over the histogram (bins per group), and row_number over
+      the boundary-straddling tie classes only — at most
+      ``n_buckets - 1`` bins per group ever straddle;
+    - the assignment join broadcasts the bucketed histogram (bins ×
+      groups rows); if a pathological score domain outgrows the
+      broadcast threshold, dropping the hint degrades to an AQE-sized
+      hash join on (group, score) — same result;
+    - NTILE rank arithmetic is integer-exact (``div``, never double
+      division) so rank -> bucket cannot be off-by-one at 10^12 rows.
+
+    NTILE math for group size s: q = s div n, rem = s mod n; the first
+    rem buckets take q+1 rows, the rest q; rank r maps to
+    ``(r + q) div (q + 1)`` while r <= rem*(q+1), else
+    ``rem + (r - rem*(q+1) + q - 1) div q``.
+    """
+    from pyspark.sql import Window
+
+    g, s = group_col, score_col
+    hist = df.groupBy(g, s).agg(F.count("*").alias("bin_n"))
+    w_cum = (
+        Window.partitionBy(g)
+        .orderBy(F.col(s).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(g)
+    hist = (
+        hist.withColumn("hi_rank", F.sum("bin_n").over(w_cum))
+        .withColumn("lo_rank", F.col("hi_rank") - F.col("bin_n") + 1)
+        .withColumn("total", F.sum("bin_n").over(w_tot))
+    )
+
+    n = int(n_buckets)
+    hist = (
+        hist.withColumn("q", F.expr(f"total div {n}"))
+        .withColumn("rem", F.expr(f"total % {n}"))
+        .withColumn("big", F.expr("rem * (q + 1)"))
+    )
+
+    def bucket_of(rank_expr: str) -> Column:
+        return F.expr(
+            f"CASE WHEN {rank_expr} <= big"
+            f" THEN ({rank_expr} + q) div (q + 1)"
+            f" ELSE rem + ({rank_expr} - big + q - 1) div q END"
+        ).cast("int")
+
+    hist = hist.withColumn("b_lo", bucket_of("lo_rank")).withColumn(
+        "b_hi", bucket_of("hi_rank")
+    )
+
+    joined = df.select(id_col, g, s).join(
+        F.broadcast(
+            hist.select(g, s, "lo_rank", "q", "rem", "big", "b_lo", "b_hi")
+        ),
+        [g, s],
+    )
+    solid = joined.filter(F.col("b_lo") == F.col("b_hi")).select(
+        id_col, g, s, F.col("b_lo").alias("bucket")
+    )
+    w_tie = Window.partitionBy(g, s).orderBy(F.col(id_col).asc())
+    straddle = (
+        joined.filter(F.col("b_lo") != F.col("b_hi"))
+        .withColumn("rank", F.col("lo_rank") - 1 + F.row_number().over(w_tie))
+        .select(id_col, g, s, bucket_of("rank").alias("bucket"))
+    )
+    out = solid.unionByName(straddle)
+    label = (
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == n, F.lit("tail"))
+        .otherwise(F.lit("middle"))
+    )
+    return out.select(id_col, g, s, "bucket", label.alias("label"))

@@ -392,3 +392,48 @@ def test_quantile_buckets_ccnet_split(spark):
         ).collect()
     }
     assert got == again
+
+
+def test_histogram_buckets_equals_ntile_exactly(spark):
+    """The histogram-threshold production path must reproduce the NTILE
+    window output EXACTLY — including tie classes that straddle bucket
+    boundaries (the one case thresholds alone cannot decide) and groups
+    smaller than the bucket count."""
+    import random
+
+    from scones.textops import histogram_buckets, quantile_buckets
+
+    rng = random.Random(7)
+    rows = []
+    for g, sz in [("en", 101), ("fr", 7), ("de", 2), ("zz", 1), ("tt", 30)]:
+        for i in range(sz):
+            # coarse score domain -> large tie classes guaranteed to
+            # straddle tercile/quartile boundaries
+            score = rng.choice([0.0, 1.5, 1.5, 2.25, 3.0, 3.0, 3.0])
+            rows.append((f"{g}-{i:04d}", g, float(score)))
+    df = spark.createDataFrame(rows, "doc_id string, lang string, score double")
+    for nb in (3, 4, 7):
+        a = {
+            tuple(r)
+            for r in quantile_buckets(
+                df, "score", group_col="lang", n_buckets=nb
+            ).collect()
+        }
+        b = {
+            tuple(r)
+            for r in histogram_buckets(
+                df, "score", group_col="lang", n_buckets=nb
+            ).collect()
+        }
+        assert a == b, f"n_buckets={nb}"
+    # retry-stability under a different physical partitioning
+    again = {
+        tuple(r)
+        for r in histogram_buckets(
+            df.repartition(13), "score", group_col="lang"
+        ).collect()
+    }
+    assert again == {
+        tuple(r)
+        for r in histogram_buckets(df, "score", group_col="lang").collect()
+    }

@@ -252,3 +252,19 @@ def test_round5_ops_have_scale_safe_plans(spark):
     assert "CartesianProduct" not in dw
     assert "Window" not in dw
     assert "SortMergeJoin" not in dw  # model is broadcast/literal-side
+
+
+def test_histogram_buckets_plan_has_no_corpus_window(spark):
+    """ccnet_buckets_hist (the production bucket path): the histogram is
+    aggregated BEFORE any Window touches it (partial-then-final
+    HashAggregate), the bucketed histogram reaches the corpus as a
+    broadcast (never a shuffled SortMergeJoin of the big side), and
+    there is no cartesian.  The corpus-sized input itself is never
+    sorted: every Sort in the plan belongs to the metadata-scale window
+    inputs (histogram bins / straddling tie rows)."""
+    df = entrymod.queries()["ccnet_buckets_hist"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2  # map-side combine on the histogram
