@@ -938,6 +938,62 @@ def ccnet_buckets_hist_query(spark, sf_dir):
     return histogram_buckets(scored, "bits_per_bigram", group_col="lang")
 
 
+# External-model perplexity (the real CCNet shape: score the corpus
+# against a REFERENCE LM, not against itself).  The reference slice is
+# deterministic (doc_id % 4 <> 0, i.e. a 75% "wiki" proxy); every doc —
+# including the held-out 25% whose bigrams may be unseen — is scored
+# through the same add-one smoothing with c = 0 via LEFT joins.
+_LM_EXT_SQL = """
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    ref AS (SELECT doc_id, t FROM tok WHERE doc_id % 4 <> 0),
+    uni AS (SELECT UNNEST(t) AS w1 FROM ref),
+    uc AS (SELECT w1, COUNT(*) AS cu FROM uni GROUP BY w1),
+    v AS (SELECT COUNT(*) AS vs FROM uc),
+    bg AS (
+      SELECT doc_id,
+             UNNEST(list_transform(range(1, len(t)),
+               i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+      FROM tok WHERE len(t) >= 2
+    ), bgf AS (SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg),
+    bgr AS (
+      SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+        SELECT UNNEST(list_transform(range(1, len(t)),
+          i -> {'w1': t[i], 'w2': t[i+1]})) AS p
+        FROM ref WHERE len(t) >= 2)
+    ),
+    bc AS (SELECT w1, w2, COUNT(*) AS cb FROM bgr GROUP BY w1, w2),
+    scored AS (
+      SELECT doc_id,
+             -log2((COALESCE(cb, 0) + 1) / (COALESCE(cu, 0) + v.vs)) AS nll
+      FROM bgf LEFT JOIN bc USING (w1, w2) LEFT JOIN uc USING (w1), v
+    ),
+    lm AS (
+      SELECT d.doc_id, COALESCE(s.n, 0) AS n_bigrams,
+             COALESCE(s.b, 0.0) AS bits_per_bigram
+      FROM documents d LEFT JOIN (
+        SELECT doc_id, COUNT(*) AS n,
+               ROUND(CAST(SUM(CAST(ROUND(nll, 9) AS DECIMAL(28,9))) AS DOUBLE)
+                     / COUNT(*), 4) AS b
+        FROM scored GROUP BY doc_id
+      ) s ON d.doc_id = s.doc_id
+    )
+    SELECT doc_id, n_bigrams, bits_per_bigram FROM lm
+"""
+
+
+@_q("lm_perplexity_ext", _LM_EXT_SQL)
+def lm_perplexity_ext_query(spark, sf_dir):
+    """CCNet external-reference scoring through the LmModel seam
+    (textops.train_lm / lm_perplexity(model=…)); a persisted wiki
+    KenLM-style model loads through textops.load_lm instead."""
+    from scones.textops import lm_perplexity as lmp
+    from scones.textops import train_lm
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_lm(docs.filter(F.col("doc_id") % 4 != 0))
+    return lmp(docs, model=model)
+
+
 def _pack_oracle_sql(budget: int, n_shards: int, seed: int) -> str:
     nib = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
     u16 = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4))

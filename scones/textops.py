@@ -937,18 +937,87 @@ def doc_freq_stats(
     )
 
 
+class LmModel:
+    """An add-one-smoothed bigram LM as two count tables + vocab size —
+    the external-model seam for :func:`lm_perplexity` (CCNet scores
+    against a WIKIPEDIA KenLM, not the corpus itself; this is the
+    drop-in point for such a reference model).  ``bigrams`` has columns
+    (w1, w2, c_bigram); ``unigrams`` has (w1, c_unigram); ``vocab_size``
+    is the distinct-token count of the training corpus (== the unigram
+    table's row count, so persisted models need no side metadata).
+    """
+
+    def __init__(self, bigrams: DataFrame, unigrams: DataFrame, vocab_size: int):
+        self.bigrams = bigrams
+        self.unigrams = unigrams
+        self.vocab_size = int(vocab_size)
+
+
+def train_lm(df: DataFrame, text_col: str = "text") -> LmModel:
+    """Train the bigram LM on a reference corpus: two map-side-
+    combinable groupBys (bigram counts, unigram counts); V is the
+    unigram table's row count.  The bigram extraction is row-local
+    (the same arrays_zip-of-slices expression as scoring)."""
+    words = F.split(F.col(text_col), " ")
+    bigrams_of = _bigrams_expr(text_col)
+    doc_bigrams = df.select(F.explode(bigrams_of).alias("bg")).select(
+        F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    bigram_counts = doc_bigrams.groupBy("w1", "w2").agg(
+        F.count("*").alias("c_bigram")
+    )
+    unigram_counts = (
+        df.select(F.explode(words).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count("*").alias("c_unigram"))
+    )
+    return LmModel(bigram_counts, unigram_counts, unigram_counts.count())
+
+
+def save_lm(model: LmModel, path: str) -> None:
+    """Persist the model as two parquet tables under ``path`` —
+    the config seam through which a real (e.g. Wikipedia-trained)
+    model drops into the pipeline."""
+    import os
+
+    model.bigrams.write.mode("overwrite").parquet(os.path.join(path, "bigrams"))
+    model.unigrams.write.mode("overwrite").parquet(
+        os.path.join(path, "unigrams")
+    )
+
+
+def load_lm(spark, path: str) -> LmModel:
+    import os
+
+    uni = spark.read.parquet(os.path.join(path, "unigrams"))
+    return LmModel(
+        spark.read.parquet(os.path.join(path, "bigrams")), uni, uni.count()
+    )
+
+
+def _bigrams_expr(text_col: str):
+    return F.expr(
+        f"transform(arrays_zip(slice(split({text_col}, ' '), 1, "
+        f"size(split({text_col}, ' ')) - 1), slice(split({text_col}, ' '), 2, "
+        f"size(split({text_col}, ' ')) - 1)), p -> struct(p['0'] as w1, p['1'] as w2))"
+    )
+
+
 def lm_perplexity(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
+    model: LmModel | None = None,
 ) -> DataFrame:
     """CCNet-style language-model quality score: train an add-one-
-    smoothed bigram LM on the corpus itself, then score every document
-    by average bigram cross-entropy (bits/bigram; perplexity = 2^H).
-    Low score = the doc looks like the corpus; high = junk/outlier —
-    the standard LM filter for pre-training data, with the corpus as
-    its own reference model (CCNet uses a Wikipedia KenLM; the plan
-    shape is identical with an external model table).
+    smoothed bigram LM on the corpus itself (or score against an
+    external :class:`LmModel` when ``model`` is given), then score
+    every document by average bigram cross-entropy (bits/bigram;
+    perplexity = 2^H).  Low score = the doc looks like the reference;
+    high = junk/outlier — the standard LM filter for pre-training
+    data.  Unseen bigrams/unigrams under an external model score via
+    the same add-one smoothing with c = 0 (LEFT joins + coalesce), so
+    out-of-domain text is scored, not dropped.
 
     H(doc) = avg over bigrams of -log2 P(w2|w1),
     P(w2|w1) = (c(w1 w2) + 1) / (c(w1) + V).
@@ -958,39 +1027,34 @@ def lm_perplexity(
     combinable groupBys (bigram counts, unigram counts); scoring joins
     doc-bigrams to the model on the bigram/unigram keys (hash joins on
     string keys, AQE-sized) and aggregates per doc.  V (vocab size) is
-    one countDistinct.  Single-doc-token edge: docs with < 2 tokens get
-    H = 0 (no bigrams).
+    the unigram table's row count.  Model tables are vocab-sized — far
+    below corpus scale; a small external model broadcasts under AQE,
+    a big one hash-joins.  Single-doc-token edge: docs with < 2 tokens
+    get H = 0 (no bigrams).
     """
-    words = F.split(F.col(text_col), " ")
-    bigrams_of = F.expr(
-        f"transform(arrays_zip(slice(split({text_col}, ' '), 1, "
-        f"size(split({text_col}, ' ')) - 1), slice(split({text_col}, ' '), 2, "
-        f"size(split({text_col}, ' ')) - 1)), p -> struct(p['0'] as w1, p['1'] as w2))"
-    )
     doc_bigrams = df.select(
-        id_col, F.explode(bigrams_of).alias("bg")
+        id_col, F.explode(_bigrams_expr(text_col)).alias("bg")
     ).select(id_col, F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
 
-    bigram_counts = doc_bigrams.groupBy("w1", "w2").agg(
-        F.count("*").alias("c_bigram")
-    )
-    unigram_counts = df.select(
-        F.explode(words).alias("w1")
-    ).groupBy("w1").agg(F.count("*").alias("c_unigram"))
-    vocab_size = (
-        df.select(F.explode(words).alias("w")).agg(
-            F.countDistinct("w").alias("v")
-        ).first()["v"]
-    )
+    if model is None:
+        model = train_lm(df, text_col=text_col)
 
+    # LEFT joins + coalesce(c, 0): under a self-trained model every
+    # doc bigram hits (identical to the historical inner-join plan);
+    # under an external model, unseen bigrams/unigrams still score
+    # through the add-one smoothing instead of silently vanishing
+    # from the per-doc average.
     scored = (
-        doc_bigrams.join(bigram_counts, ["w1", "w2"])
-        .join(unigram_counts, "w1")
+        doc_bigrams.join(model.bigrams, ["w1", "w2"], "left")
+        .join(model.unigrams, "w1", "left")
         .withColumn(
             "nll",
             -F.log2(
-                (F.col("c_bigram") + 1)
-                / (F.col("c_unigram") + F.lit(float(vocab_size)))
+                (F.coalesce(F.col("c_bigram"), F.lit(0)) + 1)
+                / (
+                    F.coalesce(F.col("c_unigram"), F.lit(0))
+                    + F.lit(float(model.vocab_size))
+                )
             ),
         )
     )

@@ -437,3 +437,37 @@ def test_histogram_buckets_equals_ntile_exactly(spark):
         tuple(r)
         for r in histogram_buckets(df, "score", group_col="lang").collect()
     }
+
+
+def test_lm_model_seam_save_load_and_unseen_scoring(spark, tmp_path):
+    """The external-model seam: (a) a persisted model reloads and
+    scores identically to the in-memory one; (b) docs made ENTIRELY of
+    tokens unseen by the reference still score through add-one
+    smoothing (P = 1/V per bigram), never drop out."""
+    from scones.textops import lm_perplexity, load_lm, save_lm, train_lm
+
+    ref = spark.createDataFrame(
+        [(1, "the cat sat on the mat"), (2, "the dog sat on the rug")],
+        ["doc_id", "text"],
+    )
+    docs = spark.createDataFrame(
+        [(10, "the cat sat"), (11, "zz qq zz qq")], ["doc_id", "text"]
+    )
+    model = train_lm(ref)
+    assert model.vocab_size == 7  # the,cat,sat,on,mat,dog,rug
+    got = {r.doc_id: r for r in lm_perplexity(docs, model=model).collect()}
+    # doc 11: every bigram unseen, every unigram unseen ->
+    # nll = -log2(1 / V) = log2(7) bits for each of its 3 bigrams
+    assert got[11].n_bigrams == 3
+    assert abs(got[11].bits_per_bigram - 2.8074) < 1e-9
+    # doc 10 scores strictly better (its bigrams exist in the reference)
+    assert got[10].bits_per_bigram < got[11].bits_per_bigram
+
+    path = str(tmp_path / "lm")
+    save_lm(model, path)
+    reloaded = load_lm(spark, path)
+    assert reloaded.vocab_size == model.vocab_size
+    again = {r.doc_id: r for r in lm_perplexity(docs, model=reloaded).collect()}
+    assert {k: (v.n_bigrams, v.bits_per_bigram) for k, v in got.items()} == {
+        k: (v.n_bigrams, v.bits_per_bigram) for k, v in again.items()
+    }
