@@ -994,6 +994,57 @@ def lm_perplexity_ext_query(spark, sf_dir):
     return lmp(docs, model=model)
 
 
+# Exact repeated-substring duplication profile (Lee et al. 2022 at
+# fixed window length): the oracle may use windows freely (it is only
+# a correctness replica); the Spark side is window-free (min(struct)
+# keep-first) — rn > 1 over (doc_id, pos) order IS "not the min".
+_SUBSTRING_DUP_SQL = """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    occ0 AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, len(t) - 5 + 2),
+        i -> {'pos': i,
+              'wh': substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)})) AS w
+      FROM tok WHERE len(t) >= 5
+    ),
+    occ AS (SELECT doc_id, w.pos AS pos, w.wh AS wh FROM occ0),
+    ranked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY wh) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+      FROM occ
+    ),
+    dup AS (
+      SELECT doc_id, COUNT(*) AS n_dup
+      FROM ranked WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, GREATEST(len(t) - 5 + 1, 0) AS n_windows FROM tok
+    )
+    SELECT b.doc_id,
+           CAST(b.n_windows AS BIGINT) AS n_windows,
+           CAST(COALESCE(d.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           CASE WHEN b.n_windows > 0
+                THEN ROUND(COALESCE(d.n_dup, 0) / b.n_windows, 4)
+                ELSE 0.0 END AS dup_frac,
+           (CASE WHEN b.n_windows > 0
+                 THEN ROUND(COALESCE(d.n_dup, 0) / b.n_windows, 4)
+                 ELSE 0.0 END) >= 0.5 AS dup_heavy
+    FROM base b LEFT JOIN dup d ON b.doc_id = d.doc_id
+"""
+
+
+@_q("substring_dup_stats", _SUBSTRING_DUP_SQL)
+def substring_dup_stats_query(spark, sf_dir):
+    from scones.textops import substring_dup_stats
+
+    return substring_dup_stats(
+        _t(spark, sf_dir, "documents"), k=5, min_df=2, heavy_frac=0.5
+    )
+
+
 def _pack_oracle_sql(budget: int, n_shards: int, seed: int) -> str:
     nib = "(strpos('0123456789abcdef', substr(h, {p}, 1)) - 1)"
     u16 = " + ".join(f"{nib.format(p=p + 1)} * {16 ** (3 - p)}" for p in range(4))
@@ -2280,6 +2331,93 @@ def simhash(spark, sf_dir):
         _t(spark, sf_dir, "documents"),
         bits=16,
         token_hash=textops.md5_hash16("tok"),
+    )
+
+
+# SimHash Hamming near-dup pairs (Manku et al., WWW 2007).  The oracle
+# variant uses the 16-bit md5 fingerprint split into TWO 8-bit blocks
+# with hamming_max=1 (pigeonhole: <=1 flipped bit implies one block is
+# equal) — 8-bit blocks keep bucket fan-out sane at fingerprint width
+# 16; production runs 64-bit xxhash fingerprints, 4 x 16-bit blocks,
+# hamming <= 3 (same plan, pinned in tests/).
+def _simhash_pairs_oracle_sql() -> str:
+    return f"""
+    WITH sh AS ({_simhash_oracle_sql(16)}),
+    bands AS (
+      SELECT doc_id, simhash, b.band AS band,
+             (simhash >> (b.band * 8)) & 255 AS bv
+      FROM sh, (SELECT UNNEST(range(0, 2)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sa,
+                      b.doc_id AS doc_b, b.simhash AS sb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= 1
+    """
+
+
+@_q("simhash_near_dup", _simhash_pairs_oracle_sql())
+def simhash_near_dup_query(spark, sf_dir):
+    return textops.simhash_near_dup_pairs(
+        _t(spark, sf_dir, "documents"),
+        bits=16,
+        n_bands=2,
+        hamming_max=1,
+        token_hash=textops.md5_hash16("tok"),
+    )
+
+
+# UniMax language-budget allocation (Chung et al. 2023).  The greedy
+# ascending-size scan is replayed in SQL as a recursive CTE over the
+# per-language aggregate; integer floor-share arithmetic keeps the two
+# engines bit-equal.  Budget/epoch cap chosen so BOTH branches of the
+# min() engage on the sf corpora.
+def _unimax_oracle_sql(budget: int, epochs: int) -> str:
+    return f"""
+    WITH RECURSIVE tok AS (
+      SELECT lang,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS n
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang, COUNT(*) AS n_docs, SUM(n) AS n_tokens
+      FROM tok GROUP BY lang
+    ),
+    ord AS (
+      SELECT lang, n_docs, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens, lang) AS rn,
+             COUNT(*) OVER () AS n_langs
+      FROM agg
+    ),
+    alloc AS (
+      SELECT rn, n_langs, lang, n_docs, n_tokens,
+             LEAST({epochs} * n_tokens, {budget} // n_langs) AS quota,
+             {budget} - LEAST({epochs} * n_tokens, {budget} // n_langs) AS rem
+      FROM ord WHERE rn = 1
+      UNION ALL
+      SELECT o.rn, o.n_langs, o.lang, o.n_docs, o.n_tokens,
+             LEAST({epochs} * o.n_tokens,
+                   a.rem // (o.n_langs - o.rn + 1)) AS quota,
+             a.rem - LEAST({epochs} * o.n_tokens,
+                           a.rem // (o.n_langs - o.rn + 1)) AS rem
+      FROM alloc a JOIN ord o ON o.rn = a.rn + 1
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(quota AS BIGINT) AS quota_tokens,
+           CASE WHEN n_tokens > 0 THEN ROUND(quota / n_tokens, 4)
+                ELSE 0.0 END AS epochs
+    FROM alloc
+    """
+
+
+@_q("unimax_budget", _unimax_oracle_sql(40000, 2))
+def unimax_budget_query(spark, sf_dir):
+    return textops.unimax_budget(
+        _t(spark, sf_dir, "documents"), budget_tokens=40000, max_epochs=2
     )
 
 

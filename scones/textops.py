@@ -601,7 +601,13 @@ def simhash64(
     )
     fp = F.lit(0).cast("bigint")
     for i in range(bits):
-        fp = fp + F.when(F.col(f"v{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        # shiftleft, not lit(1 << i): bit 63 (1 << 63) overflows a
+        # signed long literal, but lands correctly as the sign bit
+        # under two's-complement shifting (banding uses
+        # shiftrightunsigned, xor/bit_count are sign-agnostic).
+        fp = fp + F.when(
+            F.col(f"v{i}") > 0, F.shiftleft(F.lit(1).cast("bigint"), i)
+        ).otherwise(F.lit(0).cast("bigint"))
     return votes.select("doc_id", fp.alias("simhash"))
 
 
@@ -1881,3 +1887,231 @@ def histogram_buckets(
         .otherwise(F.lit("middle"))
     )
     return out.select(id_col, g, s, "bucket", label.alias("label"))
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    k: int = 5,
+    min_df: int = 2,
+    heavy_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact repeated-substring duplication profile (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better": their
+    suffix-array pass finds verbatim spans repeated across the corpus;
+    this is the distributed equivalent at fixed window length k).  Every
+    k-token window is hashed; a window OCCURRENCE is a duplicate when
+    its hash appears >= min_df times corpus-wide and the occurrence is
+    not the canonical first one (min (doc_id, pos) — keep-first, the
+    span_dedup convention).  Output per doc: total windows, duplicate
+    windows, the duplicated fraction, and a ``dup_heavy`` gate at
+    ``heavy_frac`` (the "drop docs that are mostly boilerplate"
+    filter).
+
+    Scale shape:
+    - ``n_windows`` is ROW-LOCAL (size arithmetic — no explode);
+    - occurrences explode to (id, pos, 16-byte md5 window hash); the
+      corpus-wide window table is ONE map-side-combinable groupBy
+      carrying count + min(struct(doc_id, pos)) — keep-first needs NO
+      window function;
+    - occurrences join only the ``cnt >= min_df`` slice of that table
+      (duplicated window hashes are a small fraction of all windows in
+      a healthy corpus, so the join's build side is the dup slice, and
+      at low dup rates it broadcasts under AQE);
+    - the per-doc rollup is a map-side-combinable count.
+    """
+    toks = tokens_col(text_col)
+    win = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.struct(
+            (i + 1).cast("int").alias("pos"),
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(toks, (i + j + 1).cast("int"))
+                            for j in range(k)
+                        ],
+                    )
+                ),
+                1,
+                16,
+            ).alias("wh"),
+        ),
+    )
+    occ = df.select(
+        id_col,
+        F.explode(
+            F.when(F.size(toks) >= k, win).otherwise(
+                F.array().cast("array<struct<pos:int,wh:string>>")
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+
+    dup_hashes = (
+        occ.groupBy("wh")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct(id_col, "pos")).alias("mn"),
+        )
+        .filter(F.col("cnt") >= min_df)
+    )
+    dup_occ = (
+        occ.join(dup_hashes, "wh")
+        .filter(
+            ~(
+                (F.col(id_col) == F.col(f"mn.{id_col}"))
+                & (F.col("pos") == F.col("mn.pos"))
+            )
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_dup_windows"))
+    )
+
+    n_windows = F.greatest(F.size(toks) - k + 1, F.lit(0)).cast("bigint")
+    out = (
+        df.select(id_col, n_windows.alias("n_windows"))
+        .join(dup_occ, id_col, "left")
+        .select(
+            id_col,
+            "n_windows",
+            F.coalesce("n_dup_windows", F.lit(0)).alias("n_dup_windows"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.when(
+                F.col("n_windows") > 0,
+                F.round(F.col("n_dup_windows") / F.col("n_windows"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+    )
+    return out.withColumn(
+        "dup_heavy", F.col("dup_frac") >= F.lit(float(heavy_frac))
+    )
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    bits: int = 64,
+    n_bands: int = 4,
+    hamming_max: int = 3,
+    token_hash: Column | None = None,
+    max_bucket: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs via Hamming-distance banding (Manku,
+    Jain & Das Sarma, WWW 2007 — Google's web-crawl dedup): split each
+    fingerprint into ``n_bands`` equal bit blocks; by pigeonhole, two
+    fingerprints within Hamming distance ``hamming_max <= n_bands - 1``
+    agree EXACTLY on at least one block, so candidates are generated by
+    an equi-join on (block index, block value) — never an all-pairs
+    comparison — and verified with one XOR + popcount.  Exact recall at
+    the stated distance (unlike MinHash-LSH's probabilistic recall),
+    because the band equality is implied, not sampled.
+
+    Scale shape: the banded index is ``n_bands`` 8-byte rows per doc;
+    the self-join key (band, block value) has ~2^(bits/n_bands) × bands
+    buckets; ``max_bucket`` drops degenerate buckets (e.g. the all-zero
+    fingerprints of empty docs) before the join fans out — the same cap
+    convention as embedding_near_dup_pairs.  Verification carries only
+    (id, fingerprint) pairs — 16 bytes — never document bodies.
+    """
+    if hamming_max > n_bands - 1:
+        raise ValueError(
+            "pigeonhole guarantee needs hamming_max <= n_bands - 1"
+        )
+    fp = simhash64(df, bits=bits, token_hash=token_hash)
+    width = bits // n_bands
+    mask = (1 << width) - 1
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("simhash", b * width)
+            .bitwiseAND(F.lit(mask))
+            .alias("bv"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = fp.select(
+        id_col, "simhash", F.explode(F.array(*band_cols)).alias("bb")
+    ).select(id_col, "simhash", F.col("bb.band").alias("band"), F.col("bb.bv").alias("bv"))
+    if max_bucket is not None:
+        sizes = bands.groupBy("band", "bv").agg(F.count("*").alias("bn"))
+        bands = bands.join(
+            sizes.filter(F.col("bn") <= max_bucket).drop("bn"), ["band", "bv"]
+        )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, ["band", "bv"])
+        .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("int"),
+        )
+        .where(F.col("hamming") <= hamming_max)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def unimax_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    max_epochs: int = 4,
+    lang_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023,
+    "UniMax: Fairer and More Effective Language Sampling"): distribute a
+    total training-token budget across languages, visiting languages in
+    ASCENDING order of available data; each language receives
+    ``min(max_epochs * its_tokens, remaining / languages_left)`` — so no
+    language repeats more than ``max_epochs`` times, and budget freed by
+    small languages flows to larger ones.  Output per language: doc and
+    token counts, the allocated ``quota_tokens``, and the implied
+    ``epochs`` over its data.
+
+    All arithmetic is INTEGER (floor shares) so the allocation is
+    engine-exact; ties in corpus size break by language code.
+
+    Scale shape: corpus work is ONE map-side-combinable groupBy(lang) —
+    the rest runs over the ~10^2-row language aggregate on the driver
+    (metadata-scale, the same convention as lm vocab_size; the greedy
+    scan is inherently sequential and 100 rows long, not a distributed
+    job).
+    """
+    toks = tokens_col(text_col)
+    agg = df.groupBy(lang_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(toks)).alias("n_tokens"),
+    )
+    rows = sorted(
+        agg.collect(), key=lambda r: (r["n_tokens"], r[lang_col])
+    )  # ~#languages rows
+    remaining = int(budget_tokens)
+    out = []
+    for i, r in enumerate(rows):
+        share = remaining // (len(rows) - i)
+        quota = min(int(max_epochs) * int(r["n_tokens"]), share)
+        remaining -= quota
+        epochs = (
+            round(quota / int(r["n_tokens"]), 4) if r["n_tokens"] else 0.0
+        )
+        out.append(
+            (r[lang_col], int(r["n_docs"]), int(r["n_tokens"]), quota, epochs)
+        )
+    return df.sparkSession.createDataFrame(
+        out,
+        f"{lang_col} string, n_docs bigint, n_tokens bigint, "
+        "quota_tokens bigint, epochs double",
+    )

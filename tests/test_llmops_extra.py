@@ -471,3 +471,101 @@ def test_lm_model_seam_save_load_and_unseen_scoring(spark, tmp_path):
     assert {k: (v.n_bigrams, v.bits_per_bigram) for k, v in got.items()} == {
         k: (v.n_bigrams, v.bits_per_bigram) for k, v in again.items()
     }
+
+
+def test_substring_dup_stats_keep_first_semantics(spark):
+    """A verbatim 5-gram shared across docs: the canonical (first by
+    (doc_id, pos)) occurrence is NOT counted as duplicate; later ones
+    are; short docs (< k tokens) report zero windows; a doc that is
+    wholly boilerplate trips the dup_heavy gate."""
+    from scones.textops import substring_dup_stats
+
+    span = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, span + " unique tail one"),      # canonical owner (pos 1)
+        (2, "prefix two " + span),           # dup occurrence
+        (3, span),                           # wholly duplicated -> heavy
+        (4, "too short"),                    # < k tokens
+        (5, "totally different words here live now"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in substring_dup_stats(df, k=5).collect()}
+    assert got[1].n_windows == 4 and got[1].n_dup_windows == 0
+    assert got[2].n_windows == 3 and got[2].n_dup_windows == 1
+    assert got[3].n_windows == 1 and got[3].n_dup_windows == 1
+    assert got[3].dup_frac == 1.0 and got[3].dup_heavy
+    assert got[4].n_windows == 0 and got[4].dup_frac == 0.0
+    assert got[5].n_dup_windows == 0 and not got[5].dup_heavy
+
+
+def test_simhash_near_dup_production_shape(spark):
+    """64-bit xxhash fingerprints, 4 x 16-bit blocks, hamming <= 3:
+    identical docs pair at distance 0; unrelated docs don't pair; a
+    one-word edit of a long doc stays within the Hamming radius; the
+    pigeonhole precondition is enforced; the bucket cap drops
+    degenerate buckets."""
+    import pytest as _pytest
+
+    from scones.textops import simhash_near_dup_pairs
+
+    # 51 DISTINCT tokens (odd -> per-bit vote sums are never zero),
+    # each repeated 20x (every |sum| >= 20): editing ONE occurrence
+    # perturbs any bit sum by at most 2, so it provably flips nothing —
+    # the edited doc sits at hamming distance EXACTLY 0 (deterministic,
+    # unlike a one-word edit over independent tokens, which flips every
+    # zero-sum bit).
+    base = " ".join(f"tok{i}" for i in range(51) for _ in range(20))
+    rows = [
+        (1, base),
+        (2, base),                                    # identical
+        (3, base.replace("tok7 ", "edited ", 1)),     # one-occurrence edit
+        (4, " ".join(f"zz{i}" for i in range(200))),  # unrelated
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_dup_pairs(df).collect()
+    }
+    assert pairs.get((1, 2)) == 0
+    assert all(4 not in p for p in pairs)
+    assert pairs.get((1, 3)) == 0 and pairs.get((2, 3)) == 0
+
+    with _pytest.raises(ValueError):
+        simhash_near_dup_pairs(df, n_bands=4, hamming_max=4)
+
+    # cap: identical docs all land in the same buckets; max_bucket=1
+    # drops those buckets entirely -> no pairs survive
+    capped = simhash_near_dup_pairs(df, max_bucket=1).collect()
+    assert capped == []
+
+
+def test_unimax_budget_greedy_allocation(spark):
+    """UniMax semantics: languages are visited smallest-first; the epoch
+    cap binds small languages and their unused share flows to larger
+    ones; no language exceeds max_epochs; a capped-rich world degrades
+    to equal shares."""
+    from scones.textops import unimax_budget
+
+    def mk(lang, n_docs, toks_per_doc):
+        return [
+            (f"{lang}-{i}", lang, " ".join(["t"] * toks_per_doc))
+            for i in range(n_docs)
+        ]
+
+    rows = mk("aa", 2, 50) + mk("bb", 10, 50) + mk("cc", 100, 50)
+    df = spark.createDataFrame(rows, ["doc_id", "lang", "text"])
+    # totals: aa=100, bb=500, cc=5000; budget 3000, cap 2 epochs
+    got = {r.lang: r for r in unimax_budget(df, 3000, max_epochs=2).collect()}
+    # aa: share 1000 vs cap 200 -> 200 (cap binds), epochs exactly 2.0
+    assert got["aa"].quota_tokens == 200 and got["aa"].epochs == 2.0
+    # bb: remaining 2800, share 1400 vs cap 1000 -> 1000
+    assert got["bb"].quota_tokens == 1000 and got["bb"].epochs == 2.0
+    # cc: remaining 1800 vs cap 10000 -> 1800 (budget binds)
+    assert got["cc"].quota_tokens == 1800
+    assert got["cc"].epochs == round(1800 / 5000, 4)
+    assert sum(r.quota_tokens for r in got.values()) == 3000
+    # budget so large every lang caps: no lang exceeds max_epochs
+    rich = {
+        r.lang: r for r in unimax_budget(df, 10**9, max_epochs=2).collect()
+    }
+    assert all(r.epochs == 2.0 for r in rich.values())

@@ -268,3 +268,25 @@ def test_histogram_buckets_plan_has_no_corpus_window(spark):
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 2  # map-side combine on the histogram
+
+
+def test_substring_dup_stats_plan_is_window_free(spark):
+    """Keep-first canonicalization is min(struct) — a map-side-
+    combinable aggregate, never a corpus-wide window rank; no
+    cartesian; the per-doc rollup partial-aggregates."""
+    df = entrymod.queries()["substring_dup_stats"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_simhash_near_dup_plan_no_cartesian(spark):
+    """Candidates come from the (band, block) equi-join — the plan must
+    contain no cartesian/broadcast-nested-loop pair generation, and the
+    fingerprint aggregate partial-aggregates map-side."""
+    df = entrymod.queries()["simhash_near_dup"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
