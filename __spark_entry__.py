@@ -1036,6 +1036,59 @@ _SUBSTRING_DUP_SQL = """
 """
 
 
+# ExactSubstr-style REMOVAL (Lee et al. 2022): same dup-window
+# machinery, but tokens covered by non-canonical duplicated windows are
+# excised; the oracle replays the covered-index set with 1-based
+# indexed list lambdas (DuckDB's native base, matching Spark's i+1).
+_SUBSTRING_CLEAN_SQL = """
+    WITH tok AS (
+      SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+      FROM documents
+    ),
+    occ0 AS (
+      SELECT doc_id, UNNEST(list_transform(range(1, len(t) - 5 + 2),
+        i -> {'pos': i,
+              'wh': substr(md5(array_to_string(t[i:i+4], ' ')), 1, 16)})) AS w
+      FROM tok WHERE len(t) >= 5
+    ),
+    occ AS (SELECT doc_id, w.pos AS pos, w.wh AS wh FROM occ0),
+    ranked AS (
+      SELECT doc_id, pos,
+             COUNT(*) OVER (PARTITION BY wh) AS cnt,
+             ROW_NUMBER() OVER (PARTITION BY wh ORDER BY doc_id, pos) AS rn
+      FROM occ
+    ),
+    dup AS (
+      SELECT doc_id, list(pos ORDER BY pos) AS dps
+      FROM ranked WHERE cnt >= 2 AND rn > 1 GROUP BY doc_id
+    ),
+    cov AS (
+      SELECT doc_id,
+             list_distinct(flatten(list_transform(dps,
+               p -> range(p, p + 5)))) AS cov
+      FROM dup
+    )
+    SELECT t.doc_id,
+           COALESCE(array_to_string(list_filter(t.t,
+             (x, i) -> NOT list_contains(COALESCE(c.cov, []), i)), ' '), '')
+             AS clean_text,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(len(t.t) - len(list_filter(t.t,
+             (x, i) -> NOT list_contains(COALESCE(c.cov, []), i)))
+             AS BIGINT) AS n_tokens_removed
+    FROM tok t LEFT JOIN cov c USING (doc_id)
+"""
+
+
+@_q("substring_dedup_clean", _SUBSTRING_CLEAN_SQL)
+def substring_dedup_clean_query(spark, sf_dir):
+    from scones.textops import substring_dedup_clean
+
+    return substring_dedup_clean(
+        _t(spark, sf_dir, "documents"), k=5, min_df=2
+    )
+
+
 @_q("substring_dup_stats", _SUBSTRING_DUP_SQL)
 def substring_dup_stats_query(spark, sf_dir):
     from scones.textops import substring_dup_stats
@@ -2419,6 +2472,76 @@ def unimax_budget_query(spark, sf_dir):
     return textops.unimax_budget(
         _t(spark, sf_dir, "documents"), budget_tokens=40000, max_epochs=2
     )
+
+
+# One-pass curation filter stack: every row-local published rule
+# (Gopher length/mean-len/stopword, Gopher repetition caps, C4 page
+# drops, punctuation density) in ONE projection with INTEGER per-mille
+# threshold arithmetic — no float boundary can flip a rule between
+# engines.  The oracle computes the repetition multiplicities by
+# explode + GROUP BY (different shape, identical semantics).
+def _curation_oracle_sql() -> str:
+    return f"""
+    WITH d AS (
+      SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents
+    ),
+    base AS (
+      SELECT doc_id, text, toks, len(toks) AS n,
+             COALESCE(list_sum(list_transform(toks, x -> len(x))), 0)
+               AS sum_len,
+             len(list_filter(toks, x -> list_contains({_STOP_SQL}, x)))
+               AS stop_hits,
+             len(text) AS chars,
+             len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS punct
+      FROM d
+    ),
+    tc AS (
+      SELECT doc_id, MAX(c) AS top_tok FROM (
+        SELECT doc_id, tok, COUNT(*) AS c
+        FROM (SELECT doc_id, UNNEST(toks) AS tok FROM d)
+        GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    ),
+    bc AS (
+      SELECT doc_id, MAX(c) AS top_bg FROM (
+        SELECT doc_id, gram, COUNT(*) AS c FROM (
+          SELECT doc_id, toks[i] || ' ' || toks[i+1] AS gram
+          FROM (SELECT doc_id, toks, UNNEST(range(1, len(toks))) AS i
+                FROM d WHERE len(toks) >= 2)
+        ) GROUP BY doc_id, gram
+      ) GROUP BY doc_id
+    ),
+    r AS (
+      SELECT b.doc_id, b.n,
+        concat_ws(',',
+          CASE WHEN b.n < 30 THEN 'too_short' END,
+          CASE WHEN b.n > 100000 THEN 'too_long' END,
+          CASE WHEN b.n > 0 AND (b.sum_len < 3 * b.n OR
+                                 b.sum_len > 10 * b.n)
+               THEN 'mean_tok_len' END,
+          CASE WHEN b.stop_hits < 2 THEN 'few_stopwords' END,
+          CASE WHEN b.punct * 1000 > b.chars * 300 THEN 'punct_heavy' END,
+          CASE WHEN b.n > 0 AND COALESCE(t.top_tok, 0) * 1000 > b.n * 300
+               THEN 'top_token' END,
+          CASE WHEN b.n >= 2 AND
+                    COALESCE(c.top_bg, 0) * 1000 > (b.n - 1) * 200
+               THEN 'top_bigram' END,
+          CASE WHEN contains(lower(b.text), 'lorem ipsum')
+               THEN 'lorem_ipsum' END,
+          CASE WHEN contains(b.text, '{{') THEN 'curly_brace' END
+        ) AS reasons
+      FROM base b LEFT JOIN tc t USING (doc_id) LEFT JOIN bc c USING (doc_id)
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+           len(reasons) = 0 AS keep, reasons
+    FROM r
+    """
+
+
+@_q("curation_gate", _curation_oracle_sql())
+def curation_gate_query(spark, sf_dir):
+    return textops.curation_gate(_t(spark, sf_dir, "documents"))
 
 
 # Multimodal plumbing: binary payload → Arrow-batched featurization via

@@ -1889,6 +1889,66 @@ def histogram_buckets(
     return out.select(id_col, g, s, "bucket", label.alias("label"))
 
 
+
+
+
+def _window_occurrences(
+    df: DataFrame, k: int, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, pos, wh) for every k-token window — pos is 1-based, wh the
+    16-hex-char md5 of the space-joined window (row-local)."""
+    toks = tokens_col(text_col)
+    win = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.struct(
+            (i + 1).cast("int").alias("pos"),
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ",
+                        *[
+                            F.element_at(toks, (i + j + 1).cast("int"))
+                            for j in range(k)
+                        ],
+                    )
+                ),
+                1,
+                16,
+            ).alias("wh"),
+        ),
+    )
+    return df.select(
+        id_col,
+        F.explode(
+            F.when(F.size(toks) >= k, win).otherwise(
+                F.array().cast("array<struct<pos:int,wh:string>>")
+            )
+        ).alias("w"),
+    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
+
+
+def _dup_window_occurrences(
+    occ: DataFrame, id_col: str, min_df: int
+) -> DataFrame:
+    """Non-canonical occurrences of corpus-duplicated window hashes:
+    keep-first via min(struct) — map-side-combinable, no window rank."""
+    dup_hashes = (
+        occ.groupBy("wh")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.min(F.struct(id_col, "pos")).alias("mn"),
+        )
+        .filter(F.col("cnt") >= min_df)
+    )
+    return occ.join(dup_hashes, "wh").filter(
+        ~(
+            (F.col(id_col) == F.col(f"mn.{id_col}"))
+            & (F.col("pos") == F.col("mn.pos"))
+        )
+    )
+
+
+
 def substring_dup_stats(
     df: DataFrame,
     k: int = 5,
@@ -1922,50 +1982,9 @@ def substring_dup_stats(
     - the per-doc rollup is a map-side-combinable count.
     """
     toks = tokens_col(text_col)
-    win = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.struct(
-            (i + 1).cast("int").alias("pos"),
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        *[
-                            F.element_at(toks, (i + j + 1).cast("int"))
-                            for j in range(k)
-                        ],
-                    )
-                ),
-                1,
-                16,
-            ).alias("wh"),
-        ),
-    )
-    occ = df.select(
-        id_col,
-        F.explode(
-            F.when(F.size(toks) >= k, win).otherwise(
-                F.array().cast("array<struct<pos:int,wh:string>>")
-            )
-        ).alias("w"),
-    ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
-
-    dup_hashes = (
-        occ.groupBy("wh")
-        .agg(
-            F.count("*").alias("cnt"),
-            F.min(F.struct(id_col, "pos")).alias("mn"),
-        )
-        .filter(F.col("cnt") >= min_df)
-    )
     dup_occ = (
-        occ.join(dup_hashes, "wh")
-        .filter(
-            ~(
-                (F.col(id_col) == F.col(f"mn.{id_col}"))
-                & (F.col("pos") == F.col("mn.pos"))
-            )
-        )
+        _dup_window_occurrences(_window_occurrences(df, k, id_col, text_col),
+                                id_col, min_df)
         .groupBy(id_col)
         .agg(F.count("*").alias("n_dup_windows"))
     )
@@ -2114,4 +2133,141 @@ def unimax_budget(
         out,
         f"{lang_col} string, n_docs bigint, n_tokens bigint, "
         "quota_tokens bigint, epochs double",
+    )
+
+
+def curation_gate(
+    df: DataFrame,
+    min_tokens: int = 30,
+    max_tokens: int = 100000,
+    min_mean_len: int = 3,
+    max_mean_len: int = 10,
+    min_stop_hits: int = 2,
+    max_punct_pml: int = 300,
+    max_top_token_pml: int = 300,
+    max_top_bigram_pml: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The one-pass curation filter stack: every published row-local
+    quality rule this module implements separately (Gopher length /
+    mean-token-length / stopword rules, Rae et al. 2021 §A.1.1;
+    Gopher repetition caps §A.1.2; C4 lorem-ipsum / curly-brace page
+    drops, Raffel et al. 2020 §2.2; punctuation-density heuristic)
+    evaluated together in ONE projection — the shape a production
+    ingest uses, where each signal being its own pass would mean N
+    scans of 100 TB instead of one.
+
+    Per doc: ``keep`` plus a deterministic comma-joined ``reasons``
+    string naming every failed rule (flags-not-filter, the
+    url_blocklist convention — drop decisions stay auditable).
+
+    Engine-exactness: every threshold is compared in INTEGER
+    arithmetic (per-mille cross-multiplication, e.g. punct*1000 >
+    chars*300), so no rule can flip on a float rounding boundary
+    between engines.  ZERO exchanges; whole-stage codegen end to end.
+    """
+    toks = tokens_col(text_col)
+    staged = df.select(id_col, F.col(text_col), toks.alias("toks"))
+    n = F.size("toks")
+    sum_len = F.aggregate(
+        F.col("toks"), F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    stop_hits = F.size(F.filter(F.col("toks"), lambda x: x.isin(STOPWORDS)))
+    chars = F.length(text_col)
+    punct = chars - F.length(F.regexp_replace(text_col, r"[.,!?;:]", ""))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("toks"), i),
+            F.element_at(F.col("toks"), i + 1),
+        ),
+    )
+    top_tok = _max_multiplicity(F.col("toks"))
+    top_bg = F.when(n >= 2, _max_multiplicity(bigrams)).otherwise(F.lit(0))
+
+    rules = [
+        ("too_short", n < min_tokens),
+        ("too_long", n > max_tokens),
+        (
+            "mean_tok_len",
+            (n > 0)
+            & (
+                (sum_len < min_mean_len * n) | (sum_len > max_mean_len * n)
+            ),
+        ),
+        ("few_stopwords", stop_hits < min_stop_hits),
+        ("punct_heavy", punct * 1000 > chars * max_punct_pml),
+        ("top_token", (n > 0) & (top_tok * 1000 > n * max_top_token_pml)),
+        (
+            "top_bigram",
+            (n >= 2) & (top_bg * 1000 > (n - 1) * max_top_bigram_pml),
+        ),
+        ("lorem_ipsum", F.lower(F.col(text_col)).contains("lorem ipsum")),
+        ("curly_brace", F.col(text_col).contains("{")),
+    ]
+    reasons = F.concat_ws(
+        ",", *[F.when(cond, F.lit(name)) for name, cond in rules]
+    )
+    return staged.select(
+        id_col,
+        n.cast("bigint").alias("n_tokens"),
+        (F.length(reasons) == 0).alias("keep"),
+        reasons.alias("reasons"),
+    )
+
+
+def substring_dedup_clean(
+    df: DataFrame,
+    k: int = 5,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """ExactSubstr-style removal (Lee et al. 2022): excise from each
+    document every token covered by a NON-canonical duplicated k-token
+    window, keeping the canonical (first by (doc_id, pos)) occurrence
+    intact — so repeated boilerplate survives exactly once corpus-wide.
+    Output: ``clean_text`` (surviving tokens in original order),
+    ``n_tokens`` and ``n_tokens_removed``.
+
+    Scale shape: shares :func:`substring_dup_stats`'s candidate
+    machinery (row-local window hashing, one map-side-combinable
+    groupBy with min(struct) keep-first, join against only the
+    duplicated-hash slice).  The removal itself is ROW-LOCAL: each
+    doc's duplicated positions come back as ONE array (dup positions
+    per doc are bounded by its window count and in practice sparse),
+    expand to a covered-index set, and an indexed array filter keeps
+    the uncovered tokens — cost O(n_tokens × covered), not O(n²).
+    """
+    occ = _window_occurrences(df, k, id_col, text_col)
+    dup_pos = (
+        _dup_window_occurrences(occ, id_col, min_df)
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("dps"))
+    )
+    toks = tokens_col(text_col)
+    joined = df.select(id_col, toks.alias("toks")).join(
+        dup_pos, id_col, "left"
+    )
+    covered = F.array_distinct(
+        F.flatten(
+            F.transform(
+                F.coalesce(F.col("dps"), F.array().cast("array<int>")),
+                lambda p: F.sequence(p, p + k - 1),
+            )
+        )
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.array_contains(covered, (i + 1).cast("int")),
+    )
+    return joined.select(
+        id_col,
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("bigint").alias(
+            "n_tokens_removed"
+        ),
     )

@@ -569,3 +569,63 @@ def test_unimax_budget_greedy_allocation(spark):
         r.lang: r for r in unimax_budget(df, 10**9, max_epochs=2).collect()
     }
     assert all(r.epochs == 2.0 for r in rich.values())
+
+
+def test_curation_gate_each_rule_fires(spark):
+    """Hand-built docs tripping each rule exactly; a clean doc passes
+    with an empty reasons string."""
+    from scones.textops import curation_gate
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and then it "
+        "runs far away to the old mill pond for a very long rest "
+        "with many good friends beside the calm clear water today"
+    )
+    rows = [
+        (1, clean),
+        (2, "the of and " + " ".join(f"w{i}" for i in range(5))),  # short
+        (3, "the of " + "spark " * 40),                 # top_token cap
+        (4, ("the of " + "ab cd " * 20).strip()),       # top_bigram cap
+        (5, "the of lorem ipsum dolor " + clean),       # lorem page drop
+        (6, "the of {body} " + clean),                  # curly brace
+        (7, "the of !!!.,;:!!!.,;:" * 10 + " " + clean),  # punct heavy
+        (8, "x y " + " ".join("z" * 30 for _ in range(40))),  # mean len + stopwords
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in curation_gate(df).collect()}
+    assert got[1].keep and got[1].reasons == ""
+    assert "too_short" in got[2].reasons
+    assert "top_token" in got[3].reasons
+    assert "top_bigram" in got[4].reasons
+    assert "lorem_ipsum" in got[5].reasons and not got[5].keep
+    assert "curly_brace" in got[6].reasons
+    assert "punct_heavy" in got[7].reasons
+    assert "mean_tok_len" in got[8].reasons
+    assert "few_stopwords" in got[8].reasons
+
+
+def test_substring_dedup_clean_excises_noncanonical_spans(spark):
+    """The canonical first occurrence of a duplicated 5-gram survives;
+    later occurrences lose exactly the covered tokens; untouched text
+    passes through verbatim."""
+    from scones.textops import substring_dedup_clean
+
+    span = "alpha beta gamma delta epsilon"
+    rows = [
+        (1, span + " unique tail one"),   # canonical -> intact
+        (2, "prefix two " + span),        # loses the 5 covered tokens
+        (3, "nothing shared over here"),  # verbatim
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in substring_dedup_clean(df, k=5).collect()}
+    assert got[1].clean_text == span + " unique tail one"
+    assert got[1].n_tokens_removed == 0
+    assert got[2].clean_text == "prefix two"
+    assert got[2].n_tokens_removed == 5
+    assert got[3].clean_text == "nothing shared over here"
+    # overlapping dup windows within one doc: doc 4 repeats the span
+    # twice back-to-back; the whole doc is one later-than-canonical
+    # repetition, so everything it shares gets excised
+    df2 = spark.createDataFrame(rows + [(4, span + " " + span)], ["doc_id", "text"])
+    got2 = {r.doc_id: r for r in substring_dedup_clean(df2, k=5).collect()}
+    assert got2[4].clean_text == "" and got2[4].n_tokens_removed == 10

@@ -290,3 +290,13 @@ def test_simhash_near_dup_plan_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_curation_gate_zero_exchange_plan(spark):
+    """The whole filter stack folds row-locally: no Exchange, no
+    Window, no join — one scan-shaped projection."""
+    df = entrymod.queries()["curation_gate"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Exchange" not in plan
+    assert "Window" not in plan
+    assert "Join" not in plan
