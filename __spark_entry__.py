@@ -2544,6 +2544,87 @@ def curation_gate_query(spark, sf_dir):
     return textops.curation_gate(_t(spark, sf_dir, "documents"))
 
 
+# Per-language tokenizer fertility profile (subwords per whitespace
+# token, chars per token) — the multilingual-vocab audit table.
+@_q(
+    "fertility_stats",
+    f"""
+    WITH per AS (
+      SELECT lang,
+             CAST(len({_TOKS_SQL}) AS BIGINT) AS t,
+             CAST(len(regexp_extract_all(text,
+               '{textops.BPE_ISH_REGEX.replace("'", "''")}')) AS BIGINT) AS s,
+             CAST(len(text) AS BIGINT) AS c
+      FROM documents
+    ),
+    agg AS (
+      SELECT lang, COUNT(*) AS n_docs, SUM(t) AS n_tokens,
+             SUM(s) AS n_subwords, SUM(c) AS n_chars
+      FROM per GROUP BY lang
+    )
+    SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_subwords AS BIGINT) AS n_subwords,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CASE WHEN n_tokens > 0 THEN ROUND(n_chars / n_tokens, 4)
+                ELSE 0.0 END AS chars_per_token,
+           CASE WHEN n_tokens > 0 THEN ROUND(n_subwords / n_tokens, 4)
+                ELSE 0.0 END AS fertility
+    FROM agg
+    """,
+)
+def fertility_stats_query(spark, sf_dir):
+    return textops.fertility_stats(_t(spark, sf_dir, "documents"))
+
+
+# Bloom-filter incremental exact-dedup probe: the committed slice's
+# fingerprints fold into a 65536-bit bitmap (packed 63-bit words — bit
+# 63 would overflow a signed shift in either engine); every doc probes
+# membership.  Committed docs MUST read true (no false negatives);
+# false positives are deterministic (same md5 position arithmetic in
+# both engines), so the oracle reproduces them bit-for-bit.
+_BLOOM_SQL = f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({_TOKS_SQL})), ' '))
+               AS fp
+      FROM documents
+    ),
+    pp AS (
+      SELECT doc_id,
+             CAST('0x' || substr(md5(h.h::VARCHAR || '|' || fp), 1, 15)
+                  AS BIGINT) % 65536 AS p
+      FROM fp, (SELECT UNNEST(range(0, 4)) AS h) h
+    ),
+    build AS (
+      SELECT p // 63 AS widx,
+             bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INT)) AS bits
+      FROM pp WHERE doc_id % 4 <> 0 GROUP BY p // 63
+    ),
+    probe AS (
+      SELECT q.doc_id,
+             CAST(MIN(CASE WHEN b.bits IS NOT NULL AND
+                                (b.bits & (CAST(1 AS BIGINT)
+                                           << CAST(q.p % 63 AS INT))) != 0
+                           THEN 1 ELSE 0 END) AS BOOLEAN) AS maybe_seen
+      FROM pp q LEFT JOIN build b ON q.p // 63 = b.widx
+      GROUP BY q.doc_id
+    )
+    SELECT doc_id, maybe_seen FROM probe
+"""
+
+
+@_q("bloom_dedup_probe", _BLOOM_SQL)
+def bloom_dedup_probe_query(spark, sf_dir):
+    from scones.incremental import bloom_build, bloom_probe
+    from scones.textops import fingerprints
+
+    fp = fingerprints(_t(spark, sf_dir, "documents"))
+    committed = fp.filter(F.col("doc_id") % 4 != 0)
+    bloom = bloom_build(committed, "fingerprint", m_bits=65536, n_hashes=4)
+    return bloom_probe(fp, bloom, "fingerprint", m_bits=65536, n_hashes=4)
+
+
 # Multimodal plumbing: binary payload → Arrow-batched featurization via
 # mapInPandas.  The deterministic fake decoder (md5 fingerprint + fake
 # dims) makes the whole plumbing oracle-checkable; a real codec drops in

@@ -235,3 +235,99 @@ def commit_snapshot_with_index(
         k,
     )
     return snap_dir
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter exact-dedup probe — the space-efficient sibling of the
+# band index for EXACT dedup: the committed corpus's fingerprint set is
+# folded into an m-bit Bloom bitmap (persisted as m/63 packed-word
+# rows, i.e. a few MB for billions of keys at ~10 bits/key), and a new
+# snapshot probes membership with a broadcast join — no false
+# negatives, tunable false-positive rate; positives are then verified
+# against the exact fingerprint store (the standard two-tier probe).
+#
+# Cross-engine determinism: position h of a key is
+#   conv(md5(h || '|' || key)[:15 hex], 16, 10) % m_bits
+# (60-bit non-negative), and words are 63 BITS wide — bit 63 would
+# overflow a signed-long shift in either engine's literal path.
+
+BLOOM_WORD_BITS = 63
+
+
+def bloom_positions(key: "F.Column", m_bits: int, n_hashes: int):
+    """Array of ``n_hashes`` bit positions for a key (row-local)."""
+    return F.array(
+        *[
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(h)), key)), 1, 15
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+            for h in range(n_hashes)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Fold a key column into packed Bloom words ``(widx, bits)`` —
+    one explode to (key, position), then ONE map-side-combinable
+    bit_or groupBy over at most m/63 word rows."""
+    pos = df.select(
+        F.explode(bloom_positions(F.col(key_col), m_bits, n_hashes)).alias(
+            "p"
+        )
+    )
+    return (
+        pos.select(
+            F.expr(f"p div {BLOOM_WORD_BITS}").alias("widx"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+            ).alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str,
+    m_bits: int = 1 << 16,
+    n_hashes: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Membership probe: ``maybe_seen`` is true iff EVERY hash position
+    of the key is set in the bitmap (no false negatives).  The bitmap
+    is m/63 rows — broadcast; the probe costs one narrow explode + one
+    broadcast join + one bool_and rollup, never touching the committed
+    corpus itself."""
+    pos = df.select(
+        id_col,
+        F.explode(bloom_positions(F.col(key_col), m_bits, n_hashes)).alias(
+            "p"
+        ),
+    ).select(
+        id_col,
+        F.expr(f"p div {BLOOM_WORD_BITS}").alias("widx"),
+        F.expr(
+            f"shiftleft(CAST(1 AS BIGINT), CAST(p % {BLOOM_WORD_BITS} AS INT))"
+        ).alias("mask"),
+    )
+    joined = pos.join(F.broadcast(bloom), "widx", "left")
+    hit = F.col("bits").isNotNull() & (
+        F.col("bits").bitwiseAND(F.col("mask")) != 0
+    )
+    # min-over-int rather than bool_and: identical semantics, and the
+    # cast keeps the aggregate map-side-combinable in both engines.
+    return joined.groupBy(id_col).agg(
+        F.min(hit.cast("int")).cast("boolean").alias("maybe_seen")
+    )

@@ -2271,3 +2271,54 @@ def substring_dedup_clean(
             "n_tokens_removed"
         ),
     )
+
+
+def fertility_stats(
+    df: DataFrame, lang_col: str = "lang", text_col: str = "text"
+) -> DataFrame:
+    """Per-language tokenizer fertility profile: whitespace tokens,
+    BPE-ish subword tokens, characters, and the derived ratios
+    ``chars_per_token`` and ``fertility`` (subwords per whitespace
+    token) — the audit table behind tokenizer/vocab decisions (high
+    fertility = the tokenizer fragments that language, inflating its
+    effective sequence length; the standard multilingual-vocab
+    diagnostic).
+
+    ONE map-side-combinable groupBy over ~10^2 language keys; every
+    per-doc feature folds row-locally first.  Ratios divide two exact
+    integer sums (one IEEE division + round — engine-equal).
+    """
+    toks = tokens_col(text_col)
+    per_doc = df.select(
+        lang_col,
+        F.size(toks).cast("bigint").alias("t"),
+        F.regexp_count(text_col, F.lit(BPE_ISH_REGEX))
+        .cast("bigint")
+        .alias("s"),
+        F.length(text_col).cast("bigint").alias("c"),
+    )
+    agg = per_doc.groupBy(lang_col).agg(
+        F.count("*").alias("n_docs"),
+        F.sum("t").alias("n_tokens"),
+        F.sum("s").alias("n_subwords"),
+        F.sum("c").alias("n_chars"),
+    )
+    return agg.select(
+        lang_col,
+        "n_docs",
+        "n_tokens",
+        "n_subwords",
+        "n_chars",
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_chars") / F.col("n_tokens"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("chars_per_token"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("n_subwords") / F.col("n_tokens"), 4),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+    )

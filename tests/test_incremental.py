@@ -134,3 +134,26 @@ def test_index_is_band_partitioned(spark, snapshots):
     assert parts == {"band=0", "band=1", "band=2", "band=3"}
     idx = read_band_index(spark, idx_dir)
     assert set(idx.columns) == {"doc_id", "band", "band_hash"}
+
+
+def test_bloom_probe_no_false_negatives_and_deterministic(spark):
+    """Every key folded into the bitmap MUST probe true (Bloom filters
+    have no false negatives); unseen keys overwhelmingly probe false at
+    this sizing; results are partitioning-independent."""
+    from scones.incremental import bloom_build, bloom_probe
+
+    committed = spark.createDataFrame(
+        [(i, f"key-{i}") for i in range(300)], ["doc_id", "k"]
+    )
+    fresh = spark.createDataFrame(
+        [(1000 + i, f"other-{i}") for i in range(300)], ["doc_id", "k"]
+    )
+    bloom = bloom_build(committed, "k")
+    seen = {r.doc_id: r.maybe_seen for r in bloom_probe(
+        committed.unionByName(fresh), bloom, "k").collect()}
+    assert all(seen[i] for i in range(300))  # no false negatives, ever
+    fp = sum(1 for i in range(1000, 1300) if seen[i])
+    assert fp <= 3  # ~2.4e-7 expected FP rate at 65536 bits / 600 keys
+    again = {r.doc_id: r.maybe_seen for r in bloom_probe(
+        committed.unionByName(fresh).repartition(17), bloom, "k").collect()}
+    assert seen == again

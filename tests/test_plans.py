@@ -300,3 +300,14 @@ def test_curation_gate_zero_exchange_plan(spark):
     assert "Exchange" not in plan
     assert "Window" not in plan
     assert "Join" not in plan
+
+
+def test_bloom_probe_plan_broadcasts_bitmap(spark):
+    """The packed Bloom bitmap (m/63 words) must reach the probe as a
+    broadcast — never a shuffled SortMergeJoin of the corpus side —
+    and both the build and the rollup partial-aggregate."""
+    df = entrymod.queries()["bloom_dedup_probe"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("HashAggregate") >= 2
