@@ -2544,6 +2544,41 @@ def curation_gate_query(spark, sf_dir):
     return textops.curation_gate(_t(spark, sf_dir, "documents"))
 
 
+# Batch gap-based sessionization over the events table — the backfill
+# twin of the streaming applyInPandasWithState sessionizer; the oracle
+# replays the same two-window definition.
+@_q(
+    "event_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                    OR date_diff('microseconds', LAG(ts) OVER w, ts)
+                       > 30 * 60 * 1000000
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    counted AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           COUNT(*) AS n_events,
+           MIN(ts) AS start_ts, MAX(ts) AS end_ts,
+           date_diff('microseconds', MIN(ts), MAX(ts)) AS duration_us
+    FROM counted GROUP BY user_id, session_idx
+    """,
+)
+def event_sessions_query(spark, sf_dir):
+    from scones.events import sessionize_events
+
+    return sessionize_events(_t(spark, sf_dir, "events"), gap_minutes=30)
+
+
 # Per-language tokenizer fertility profile (subwords per whitespace
 # token, chars per token) — the multilingual-vocab audit table.
 @_q(

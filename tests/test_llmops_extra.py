@@ -629,3 +629,43 @@ def test_substring_dedup_clean_excises_noncanonical_spans(spark):
     df2 = spark.createDataFrame(rows + [(4, span + " " + span)], ["doc_id", "text"])
     got2 = {r.doc_id: r for r in substring_dedup_clean(df2, k=5).collect()}
     assert got2[4].clean_text == "" and got2[4].n_tokens_removed == 10
+
+
+def test_sessionize_events_gap_semantics(spark):
+    """Hand-built timeline: events 10 min apart share a session; a
+    31-min pause opens a new one; ties on ts break by event_id;
+    duration is an exact integer microsecond span."""
+    import datetime as dt
+
+    from scones.events import sessionize_events
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ev(eid, uid, minutes):
+        return (eid, t0 + dt.timedelta(minutes=minutes), uid)
+
+    rows = [
+        ev(1, 7, 0), ev(2, 7, 10), ev(3, 7, 20),   # session 1
+        ev(4, 7, 51),                               # 31-min gap -> session 2
+        ev(5, 7, 52),
+        ev(6, 9, 0),                                # other user
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp_ntz, user_id bigint"
+    )
+    got = {
+        (r.user_id, r.session_idx): r
+        for r in sessionize_events(df, gap_minutes=30).collect()
+    }
+    assert got[(7, 1)].n_events == 3
+    assert got[(7, 2)].n_events == 2
+    assert got[(9, 1)].n_events == 1
+    assert got[(7, 1)].duration_us == 20 * 60 * 1_000_000
+    assert got[(7, 2)].duration_us == 1 * 60 * 1_000_000
+    # 30-min gap exactly is NOT a break (strict >)
+    df2 = spark.createDataFrame(
+        [ev(1, 7, 0), ev(2, 7, 30)],
+        "event_id bigint, ts timestamp_ntz, user_id bigint",
+    )
+    one = sessionize_events(df2, gap_minutes=30).collect()
+    assert len(one) == 1 and one[0].n_events == 2

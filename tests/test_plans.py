@@ -311,3 +311,14 @@ def test_bloom_probe_plan_broadcasts_bitmap(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_event_sessions_plan_single_window_sort(spark):
+    """Both window passes (lag + running session counter) share one
+    exchange+sort on the user key; the rollup adds at most one more
+    shuffle — no cartesian, no extra exchanges."""
+    df = entrymod.queries()["event_sessions"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") <= 2
+    assert plan.count("Sort") <= 1  # the shared window sort
