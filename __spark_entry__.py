@@ -2579,6 +2579,47 @@ def event_sessions_query(spark, sf_dir):
     return sessionize_events(_t(spark, sf_dir, "events"), gap_minutes=30)
 
 
+# As-of join: time-since-last-error per event.  Spark lacks a native
+# ASOF operator; ours is the union + last(ignorenulls) carry-forward
+# (one exchange, one sort, NO join node); the oracle is DuckDB's
+# NATIVE `ASOF LEFT JOIN` — two wholly independent implementations of
+# the same semantics.
+@_q(
+    "asof_last_error",
+    """
+    WITH err AS (
+      SELECT DISTINCT user_id, ts FROM events WHERE event_type = 'error'
+    )
+    SELECT e.event_id, e.user_id, e.ts,
+           r.ts IS NOT NULL AS has_prior_error,
+           COALESCE(date_diff('microseconds', r.ts, e.ts), -1)
+             AS us_since_error
+    FROM events e ASOF LEFT JOIN err r
+      ON e.user_id = r.user_id AND e.ts >= r.ts
+    """,
+)
+def asof_last_error_query(spark, sf_dir):
+    from scones.events import asof_join
+
+    events = _t(spark, sf_dir, "events")
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select("user_id", "ts")
+        .distinct()
+    )
+    out = asof_join(events, errors, on="user_id", ts_col="ts")
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("asof_ts").isNotNull().alias("has_prior_error"),
+        F.coalesce(
+            F.expr("timestampdiff(MICROSECOND, asof_ts, ts)"),
+            F.lit(-1).cast("bigint"),
+        ).alias("us_since_error"),
+    )
+
+
 # Per-language tokenizer fertility profile (subwords per whitespace
 # token, chars per token) — the multilingual-vocab audit table.
 @_q(

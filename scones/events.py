@@ -81,3 +81,72 @@ def sessionize_events(
             ),
         )
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str = "user_id",
+    ts_col: str = "ts",
+    payload_cols: list[str] | None = None,
+    right_tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join — for every left row, the single right row with the
+    greatest ``ts_col`` <= the left row's (per ``on`` key; equality
+    included).  Spark has no native ASOF operator (DuckDB/kdb/Pandas
+    do); the distributed recipe here is the UNION trick: tag both
+    sides, sort each key's timeline once, and carry the latest right
+    payload forward with ``last(ignorenulls)`` — ONE exchange + ONE
+    sort total, instead of the range-join explosion (a naive
+    ``l.ts >= r.ts`` join is O(|L|·|R|) per key before picking the
+    max).
+
+    Payload columns come back prefixed ``asof_`` (NULL when the key has
+    no prior right row).  Right rows sharing (key, ts) are ordered by
+    ``right_tiebreak`` (latest wins) — pass it, or pre-dedup the right
+    side, for fully deterministic payloads.
+
+    Scale shape: the window key is ``on`` (user/entity cardinality);
+    both sides shuffle ONCE on it; no join node at all in the plan.
+    """
+    payload_cols = payload_cols or []
+    pay = F.struct(
+        F.col(ts_col).alias("_ts"),
+        *[F.col(c).alias(c) for c in payload_cols],
+    )
+    r = right.select(
+        F.col(on),
+        F.col(ts_col),
+        *(F.col(c) for c in payload_cols),
+        F.lit(1).alias("_r"),
+        pay.alias("_pay"),
+        (
+            F.col(right_tiebreak)
+            if right_tiebreak is not None
+            else F.lit(0)
+        ).alias("_tb"),
+    ).drop(*payload_cols)
+    l = left.withColumn("_r", F.lit(0)).withColumn(
+        "_pay", F.lit(None).cast(r.schema["_pay"].dataType)
+    ).withColumn("_tb", F.lit(0))
+    u = l.unionByName(r, allowMissingColumns=True)
+
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(on)
+        .orderBy(
+            F.col(ts_col).asc(),
+            F.col("_r").desc(),  # right rows first at equal ts (>= asof)
+            F.col("_tb").asc(),  # latest tiebreak wins via last()
+        )
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.withColumn(
+        "_asof", F.last("_pay", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_r") == 0).drop("_r", "_pay", "_tb")
+    out = out.withColumn(f"asof_{ts_col}", F.col("_asof._ts"))
+    for c in payload_cols:
+        out = out.withColumn(f"asof_{c}", F.col(f"_asof.{c}"))
+    return out.drop("_asof")

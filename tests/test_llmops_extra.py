@@ -669,3 +669,31 @@ def test_sessionize_events_gap_semantics(spark):
     )
     one = sessionize_events(df2, gap_minutes=30).collect()
     assert len(one) == 1 and one[0].n_events == 2
+
+
+def test_asof_join_semantics_and_payload(spark):
+    """As-of picks the greatest right ts <= left ts per key (equality
+    included); keys with no prior right row get NULL; payload columns
+    ride along; ties on right ts resolve by the tiebreak (latest wins)."""
+    import datetime as dt
+
+    from scones.events import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m, 0)
+    left = spark.createDataFrame(
+        [(1, 7, t(10)), (2, 7, t(20)), (3, 9, t(5))],
+        "event_id bigint, user_id bigint, ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(7, t(10), "a", 1), (7, t(10), "b", 2), (7, t(15), "c", 3)],
+        "user_id bigint, ts timestamp_ntz, tag string, rid bigint",
+    )
+    out = {
+        r.event_id: r
+        for r in asof_join(
+            left, right, payload_cols=["tag"], right_tiebreak="rid"
+        ).collect()
+    }
+    assert out[1].asof_ts == t(10) and out[1].asof_tag == "b"  # equality + tiebreak
+    assert out[2].asof_ts == t(15) and out[2].asof_tag == "c"
+    assert out[3].asof_ts is None and out[3].asof_tag is None

@@ -322,3 +322,14 @@ def test_event_sessions_plan_single_window_sort(spark):
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") <= 2
     assert plan.count("Sort") <= 1  # the shared window sort
+
+
+def test_asof_join_plan_has_no_join_node(spark):
+    """The as-of is the union + last(ignorenulls) carry-forward: the
+    executed plan must contain NO join operator of any kind and no
+    cartesian — one exchange + one sort on the key."""
+    df = entrymod.queries()["asof_last_error"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "Join" not in plan          # no SMJ/BHJ/BNLJ anywhere
+    assert "CartesianProduct" not in plan
+    assert plan.count("Sort") <= 1
