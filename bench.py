@@ -142,6 +142,20 @@ BENCH_QUERIES = [
     "contamination_frac",
     "ccnet_buckets",
     "label_centroids",
+    # round-5 session 2: histogram buckets, external-model perplexity,
+    # ExactSubstr stats/removal, SimHash pairs, UniMax, curation stack,
+    # Bloom probe, fertility audit, sessionization, as-of join
+    "ccnet_buckets_hist",
+    "lm_perplexity_ext",
+    "substring_dup_stats",
+    "substring_dedup_clean",
+    "simhash_near_dup",
+    "unimax_budget",
+    "curation_gate",
+    "bloom_dedup_probe",
+    "fertility_stats",
+    "event_sessions",
+    "asof_last_error",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary
@@ -163,6 +177,10 @@ ZIPF_BENCH_QUERIES = [
     "simhash",
     "span_dedup",
     "lm_perplexity",
+    # session 2: the window-hash dedup family is vocabulary-sensitive
+    "substring_dup_stats",
+    "substring_dedup_clean",
+    "simhash_near_dup",
 ]
 
 

