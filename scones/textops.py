@@ -1562,10 +1562,22 @@ def dedup_lines_within_doc(
     The per-doc cost is O(lines²) string compares, bounded by page
     size, not corpus size — scan-shaped at 100 TB.
     """
-    lines = F.split(F.col(text_col), "\n")
-    norms = F.transform(
-        lines, lambda x: F.trim(F.regexp_replace(x, "[ \t\r]+", " "))
+    # lines/norms are PROJECTED as columns before the indexed lambda:
+    # inlining them would re-evaluate the whole split+transform for
+    # every element_at access (the lambda-inlining pitfall documented
+    # at shingles()/_window_occurrences — Catalyst does not
+    # subexpression-eliminate inside lambda bodies).
+    staged = df.select(
+        id_col,
+        F.split(F.col(text_col), "\n").alias("_lines"),
+    ).withColumn(
+        "_norms",
+        F.transform(
+            F.col("_lines"),
+            lambda x: F.trim(F.regexp_replace(x, "[ \t\r]+", " ")),
+        ),
     )
+    lines, norms = F.col("_lines"), F.col("_norms")
     kept = F.filter(
         lines,
         lambda x, i: (
@@ -1576,7 +1588,7 @@ def dedup_lines_within_doc(
             == (i + F.lit(1)).cast("long")
         ),
     )
-    return df.select(
+    return staged.select(
         id_col,
         F.array_join(kept, "\n").alias("clean_text"),
         F.size(kept).cast("bigint").alias("n_lines_kept"),
@@ -1671,7 +1683,11 @@ def quality_classifier(
     """
     from pyspark.sql.functions import broadcast
 
-    toks = tokens_col(text_col)
+    # tokens projected ONCE before the bigram lambda (the
+    # lambda-inlining pitfall — see shingles()): element_at over the
+    # raw tokens_col() expression would re-split the text per bigram.
+    staged = df.select(id_col, tokens_col(text_col).alias("_qc_toks"))
+    toks = F.col("_qc_toks")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -1682,7 +1698,7 @@ def quality_classifier(
         ),
     ).otherwise(F.array().cast("array<string>"))
     feats = F.concat(toks, bigrams)
-    exploded = df.select(
+    exploded = staged.select(
         id_col, F.explode(feats).alias("feat")
     ).select(
         id_col, (md5_hash16(F.col("feat")) % n_buckets).cast("int").alias("bucket")
