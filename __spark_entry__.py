@@ -2620,6 +2620,67 @@ def asof_last_error_query(spark, sf_dir):
     )
 
 
+# Range (interval) join with OVERLAPPING value bands — Spark's native
+# plan for the non-equi predicate is a BroadcastNestedLoopJoin; ours is
+# the bucketed-binning equi-join (plan-locked no-BNLJ).  The oracle is
+# the plain theta join.
+_VALUE_BANDS = [
+    ("low", 0.0, 5.0),
+    ("mid", 3.0, 12.0),
+    ("high", 10.0, 100.0),
+    ("all", 0.0, 100.0),
+]
+
+
+@_q(
+    "range_band_join",
+    """
+    WITH bands(band, lo, hi) AS (VALUES
+      ('low', 0.0, 5.0), ('mid', 3.0, 12.0),
+      ('high', 10.0, 100.0), ('all', 0.0, 100.0))
+    SELECT e.event_id, e.value, b.band, b.lo, b.hi
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    """,
+)
+def range_band_join_query(spark, sf_dir):
+    from scones.events import range_join_bands
+
+    return range_join_bands(
+        _t(spark, sf_dir, "events"), _VALUE_BANDS, bucket_width=5.0
+    )
+
+
+# Per-doc script composition (the evidence table behind lang_id's
+# script shortcuts); counts via RE2 \p classes in DuckDB and the Java
+# \p{Is...} spellings in Spark — same character sets.
+@_q(
+    "script_profile",
+    r"""
+    WITH c AS (
+      SELECT doc_id, len(text) AS n,
+             len(regexp_extract_all(text, '\p{Han}')) AS han,
+             len(regexp_extract_all(text,
+                 '[\p{Hiragana}\p{Katakana}]')) AS kana,
+             len(regexp_extract_all(text, '\p{Cyrillic}')) AS cyr,
+             len(regexp_extract_all(text, '[A-Za-z]')) AS latin,
+             len(regexp_extract_all(text, '[0-9]')) AS digit
+      FROM documents
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+           CAST(han AS BIGINT) AS n_han, CAST(kana AS BIGINT) AS n_kana,
+           CAST(cyr AS BIGINT) AS n_cyrillic,
+           CAST(latin AS BIGINT) AS n_latin,
+           CAST(digit AS BIGINT) AS n_digit,
+           CASE WHEN n > 0 THEN ROUND(han / n, 6) ELSE 0.0 END AS frac_han,
+           CASE WHEN n > 0 THEN ROUND(latin / n, 6) ELSE 0.0 END
+             AS frac_latin
+    FROM c
+    """,
+)
+def script_profile_query(spark, sf_dir):
+    return textops.script_profile(_t(spark, sf_dir, "documents"))
+
+
 # Per-language tokenizer fertility profile (subwords per whitespace
 # token, chars per token) — the multilingual-vocab audit table.
 @_q(

@@ -156,6 +156,8 @@ BENCH_QUERIES = [
     "fertility_stats",
     "event_sessions",
     "asof_last_error",
+    "range_band_join",
+    "script_profile",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary

@@ -150,3 +150,50 @@ def asof_join(
     for c in payload_cols:
         out = out.withColumn(f"asof_{c}", F.col(f"_asof.{c}"))
     return out.drop("_asof")
+
+
+def range_join_bands(
+    fact: DataFrame,
+    bands: list[tuple[str, float, float]],
+    value_col: str = "value",
+    bucket_width: float = 5.0,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Range join — pair each fact row with every band whose
+    ``[lo, hi)`` interval contains its value (bands may OVERLAP, so
+    this is a true interval join, not a CASE ladder).  Spark's native
+    plan for a non-equi predicate is BroadcastNestedLoopJoin —
+    O(|fact|·|bands|) compares per row; the distributed recipe here is
+    BUCKETED binning: each band pre-explodes (driver-side — the band
+    list is a literal dim) into the fixed-width buckets it covers,
+    facts compute ``floor(value / width)`` row-locally, the join is a
+    broadcast EQUI-join on the bucket, and the exact ``lo <= v < hi``
+    residual filters the bucket-edge spill.
+
+    Pick ``bucket_width`` near the median band width: the dim carries
+    ~(hi-lo)/width rows per band, and each fact meets only the bands
+    overlapping its bucket.  Same recipe scales to time-interval joins
+    (ts BETWEEN start AND end) with time buckets.
+    """
+    import math
+
+    rows = []
+    for name, lo, hi in bands:
+        b0 = math.floor(lo / bucket_width)
+        b1 = max(math.ceil(hi / bucket_width), b0 + 1)
+        for b in range(b0, b1):
+            rows.append((name, float(lo), float(hi), b))
+    dim = fact.sparkSession.createDataFrame(
+        rows, "band string, lo double, hi double, bucket bigint"
+    )
+    fact2 = fact.withColumn(
+        "bucket", F.floor(F.col(value_col) / bucket_width).cast("bigint")
+    )
+    return (
+        fact2.join(F.broadcast(dim), "bucket")
+        .filter(
+            (F.col(value_col) >= F.col("lo"))
+            & (F.col(value_col) < F.col("hi"))
+        )
+        .select(id_col, value_col, "band", "lo", "hi")
+    )

@@ -2352,3 +2352,41 @@ def fertility_stats(
         .otherwise(F.lit(0.0))
         .alias("fertility"),
     )
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document script composition: counts of Han / kana /
+    Cyrillic / Latin-letter / digit characters and their fractions of
+    the total length — the row-local evidence table behind
+    :func:`lang_id`'s script shortcuts, and the standard mixed-script
+    spam signal (e.g. Latin spam keywords injected into CJK pages).
+    ONE zero-exchange projection; integer counts, one exact division
+    per fraction.
+    """
+    n = F.length(text_col)
+
+    def cnt(pattern: str) -> Column:
+        return F.regexp_count(F.col(text_col), F.lit(pattern)).cast("bigint")
+
+    han = cnt(r"\p{IsHan}")
+    kana = cnt(r"[\p{IsHiragana}\p{IsKatakana}]")
+    cyr = cnt(r"\p{IsCyrillic}")
+    latin = cnt(r"[A-Za-z]")
+    digit = cnt(r"[0-9]")
+
+    def frac(c: Column) -> Column:
+        return F.when(n > 0, F.round(c / n, 6)).otherwise(F.lit(0.0))
+
+    return df.select(
+        id_col,
+        n.cast("bigint").alias("n_chars"),
+        han.alias("n_han"),
+        kana.alias("n_kana"),
+        cyr.alias("n_cyrillic"),
+        latin.alias("n_latin"),
+        digit.alias("n_digit"),
+        frac(han).alias("frac_han"),
+        frac(latin).alias("frac_latin"),
+    )

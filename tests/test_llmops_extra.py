@@ -697,3 +697,41 @@ def test_asof_join_semantics_and_payload(spark):
     assert out[1].asof_ts == t(10) and out[1].asof_tag == "b"  # equality + tiebreak
     assert out[2].asof_ts == t(15) and out[2].asof_tag == "c"
     assert out[3].asof_ts is None and out[3].asof_tag is None
+
+
+def test_range_join_bands_overlap_and_edges(spark):
+    """Overlapping bands each claim containing values (true interval
+    join, not a CASE ladder); [lo, hi) edges are exact; values outside
+    every band drop out."""
+    from scones.events import range_join_bands
+
+    df = spark.createDataFrame(
+        [(1, 4.0), (2, 5.0), (3, 11.0), (4, 250.0), (5, 3.0)],
+        "event_id bigint, value double",
+    )
+    bands = [("low", 0.0, 5.0), ("mid", 3.0, 12.0), ("high", 10.0, 100.0)]
+    got = {}
+    for r in range_join_bands(df, bands, bucket_width=5.0).collect():
+        got.setdefault(r.event_id, set()).add(r.band)
+    assert got[1] == {"low", "mid"}     # overlap: both claim 4.0
+    assert got[2] == {"mid"}            # 5.0 excluded from [0,5)
+    assert got[3] == {"mid", "high"}
+    assert 4 not in got                 # outside every band
+    assert got[5] == {"low", "mid"}     # lo edge inclusive
+
+
+def test_script_profile_mixed_script_doc(spark):
+    """Hand-built mixed-script text: each class counts its own chars;
+    fractions are exact divisions; empty text is all zeros."""
+    from scones.textops import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "abc 123 你好 привет"), (2, "")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r for r in script_profile(df).collect()}
+    r = got[1]
+    assert r.n_latin == 3 and r.n_digit == 3
+    assert r.n_han == 2 and r.n_cyrillic == 6
+    assert r.n_chars == len("abc 123 你好 привет")
+    assert r.frac_han == round(2 / r.n_chars, 6)
+    assert got[2].n_chars == 0 and got[2].frac_latin == 0.0

@@ -333,3 +333,14 @@ def test_asof_join_plan_has_no_join_node(spark):
     assert "Join" not in plan          # no SMJ/BHJ/BNLJ anywhere
     assert "CartesianProduct" not in plan
     assert plan.count("Sort") <= 1
+
+
+def test_range_join_plan_is_equi_not_nested_loop(spark):
+    """The interval predicate must reach the engine as a bucketed
+    broadcast EQUI-join — never the BroadcastNestedLoopJoin Spark
+    natively picks for non-equi conditions."""
+    df = entrymod.queries()["range_band_join"](spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
