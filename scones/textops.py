@@ -863,10 +863,16 @@ def span_dedup(
     row-local sort_array fold.  Three key-hashed exchanges total,
     payload-free beyond the md5 keys.
     """
-    words = F.split(F.col(text_col), " ")
+    # words projected ONCE before the span lambda (the lambda-inlining
+    # pitfall — see shingles()): slice() over the raw split expression
+    # would re-split the text per span.
+    staged = df.select(
+        id_col, F.split(F.col(text_col), " ").alias("_sd_words")
+    )
+    words = F.col("_sd_words")
     n_spans = F.ceil(F.size(words) / span_words).cast("int")
     spans = (
-        df.select(
+        staged.select(
             id_col,
             F.posexplode(
                 F.transform(
