@@ -209,7 +209,40 @@ def update_index_and_probe(
     )
     pairs.write.mode("overwrite").parquet(pairs_dir)
     n = spark.read.parquet(pairs_dir).count()
-    return {"n_near_dup_pairs": int(n), "near_dups": pairs_dir}
+
+    # Exact tier (two-tier gate, cheaper sibling of the LSH pass):
+    # persist this snapshot's fingerprint table + Bloom words, probe
+    # the merged committed Bloom, equi-join only flagged docs against
+    # committed fingerprints.  Committed TEXT is untouched here.
+    fp_root = os.path.join(checkpoint_dir, FP_INDEX_SUBDIR)
+    bloom_root = os.path.join(checkpoint_dir, BLOOM_INDEX_SUBDIR)
+    write_exact_index(
+        new_docs,
+        os.path.join(fp_root, f"snapshot_id={snapshot_id}"),
+        os.path.join(bloom_root, f"snapshot_id={snapshot_id}"),
+    )
+    fp_dirs = [
+        os.path.join(fp_root, f"snapshot_id={sid}")
+        for sid in committed_ids
+        if os.path.isdir(os.path.join(fp_root, f"snapshot_id={sid}"))
+    ]
+    bloom_dirs = [
+        os.path.join(bloom_root, f"snapshot_id={sid}")
+        for sid in committed_ids
+        if os.path.isdir(os.path.join(bloom_root, f"snapshot_id={sid}"))
+    ]
+    exact = exact_dups_via_bloom(spark, new_docs, fp_dirs, bloom_dirs)
+    exact_dir = os.path.join(
+        checkpoint_dir, "exact_dups", f"snapshot_id={snapshot_id}"
+    )
+    exact.write.mode("overwrite").parquet(exact_dir)
+    n_exact = spark.read.parquet(exact_dir).count()
+    return {
+        "n_near_dup_pairs": int(n),
+        "near_dups": pairs_dir,
+        "n_exact_dups": int(n_exact),
+        "exact_dups": exact_dir,
+    }
 
 
 def commit_snapshot_with_index(
@@ -331,3 +364,69 @@ def bloom_probe(
     return joined.groupBy(id_col).agg(
         F.min(hit.cast("int")).cast("boolean").alias("maybe_seen")
     )
+
+
+FP_INDEX_SUBDIR = "fp_index"
+BLOOM_INDEX_SUBDIR = "bloom_index"
+
+
+def write_exact_index(
+    docs: DataFrame,
+    fp_dir: str,
+    bloom_dir: str,
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> None:
+    """Persist a snapshot's EXACT-dedup state: the (doc_id, fp) content
+    fingerprint table and its packed Bloom words.  Deterministic
+    overwrites (crash-retry rewrites identical files).  The fp is
+    md5(text) — content identity at pipeline granularity."""
+    fp = docs.select("doc_id", F.md5("text").alias("fp"))
+    fp.write.mode("overwrite").parquet(fp_dir)
+    bloom_build(fp, "fp", m_bits, n_hashes).write.mode("overwrite").parquet(
+        bloom_dir
+    )
+
+
+def merge_blooms(spark: SparkSession, *bloom_dirs: str) -> DataFrame:
+    """Union committed Bloom tables into one bitmap: bit_or per word —
+    Bloom filters compose by OR, so N snapshots' filters merge into a
+    single m/63-row table (still broadcast-sized)."""
+    words = spark.read.parquet(*bloom_dirs)
+    return words.groupBy("widx").agg(F.expr("bit_or(bits)").alias("bits"))
+
+
+def exact_dups_via_bloom(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    committed_fp_dirs: list[str],
+    committed_bloom_dirs: list[str],
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Two-tier cross-snapshot EXACT dedup: (1) probe every new doc's
+    fingerprint against the merged committed Bloom bitmap (broadcast,
+    no false negatives); (2) equi-join ONLY the flagged docs against
+    the committed fingerprint tables for exact (new_doc, committed_doc)
+    pairs — false positives die here.  At scale the flagged set is
+    |true dups| + FP-rate·|delta|, so the fp-index join's probe side is
+    a vanishing fraction of the snapshot; committed TEXT is never read
+    at all (exact identity needs only the fingerprints)."""
+    new_fp = new_docs.select(
+        F.col("doc_id").alias("new_doc"), F.md5("text").alias("fp")
+    )
+    if not committed_bloom_dirs:
+        return new_fp.select("new_doc", "fp").limit(0).withColumn(
+            "committed_doc", F.lit("")
+        ).select("new_doc", "committed_doc")
+    bloom = merge_blooms(spark, *committed_bloom_dirs)
+    flagged = (
+        bloom_probe(new_fp, bloom, "fp", m_bits, n_hashes, id_col="new_doc")
+        .filter(F.col("maybe_seen"))
+        .select("new_doc")
+    )
+    cand = new_fp.join(flagged, "new_doc")
+    committed = spark.read.parquet(*committed_fp_dirs).select(
+        F.col("doc_id").alias("committed_doc"), "fp"
+    )
+    return cand.join(committed, "fp").select("new_doc", "committed_doc")

@@ -157,3 +157,57 @@ def test_bloom_probe_no_false_negatives_and_deterministic(spark):
     again = {r.doc_id: r.maybe_seen for r in bloom_probe(
         committed.unionByName(fresh).repartition(17), bloom, "k").collect()}
     assert seen == again
+
+
+def test_pipeline_exact_tier_via_bloom(spark, tmp_path):
+    """The commit hook's exact tier: snapshot 2 re-ingests snapshot 1's
+    content verbatim — every doc must report an exact committed twin via
+    the bloom -> fingerprint-index path, which never reads committed
+    document text (only index parquet under the checkpoint dir)."""
+    import shutil
+
+    from scones.config import PipelineConfig
+    from scones.corpus import write_corpus
+    from scones.pipeline import run_snapshot
+
+    root = tmp_path
+    write_corpus(str(root / "in"), n_docs=30, n_files=1, seed=31)
+    cfg = PipelineConfig(
+        input_glob=f"{root}/in/*.parquet",
+        output_dir=str(root / "out"),
+        checkpoint_dir=str(root / "ckpt"),
+        n_sinks=2,
+        dedup_index=True,
+        dedup_threshold=0.5,
+    )
+    s1 = run_snapshot(spark, cfg)
+    assert s1["n_exact_dups"] == 0  # nothing committed yet
+    assert (root / "ckpt" / "bloom_index" / "snapshot_id=1").is_dir()
+    assert (root / "ckpt" / "fp_index" / "snapshot_id=1").is_dir()
+
+    shutil.copy(
+        str(root / "in" / "docs_0000.parquet"),
+        str(root / "in" / "docs_dup_0000.parquet"),
+    )
+    s2 = run_snapshot(spark, cfg)
+    assert s2["n_exact_dups"] == 30  # every re-ingested doc has its twin
+    exact = spark.read.parquet(s2["exact_dups"])
+    rows = exact.collect()
+    assert all(r.new_doc.startswith("2#") for r in rows)
+    assert all(r.committed_doc.startswith("1#") for r in rows)
+
+    # the exact tier reads only index files, never committed documents
+    from scones.incremental import exact_dups_via_bloom, pipeline_doc_view
+
+    written = spark.read.parquet(str(root / "out" / "snapshot_id=2"))
+    new_docs = pipeline_doc_view(written, 2)
+    probe = exact_dups_via_bloom(
+        spark,
+        new_docs,
+        [str(root / "ckpt" / "fp_index" / "snapshot_id=1")],
+        [str(root / "ckpt" / "bloom_index" / "snapshot_id=1")],
+    )
+    committed_doc_files = [
+        f for f in probe.inputFiles() if "/out/snapshot_id=1" in f
+    ]
+    assert committed_doc_files == []
