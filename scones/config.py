@@ -48,6 +48,11 @@ class PipelineConfig:
     # never re-signatured, only its index is probed
     dedup_index: bool = False
     dedup_threshold: float = 0.5  # exact-Jaccard verify threshold
+    # external reference LM (CCNet shape): parquet dir written by
+    # scones.textops.save_lm; when set, each snapshot commit also writes
+    # a per-doc perplexity side table scored AGAINST THIS MODEL (a real
+    # wiki-trained KenLM-style model drops in here)
+    lm_model_path: str | None = None
     extra: dict = field(default_factory=dict)
 
     @classmethod

@@ -66,9 +66,19 @@ def write_band_index(
 
 
 def read_band_index(spark: SparkSession, *index_dirs: str) -> DataFrame:
-    return spark.read.parquet(*index_dirs).select(
-        "doc_id", "band", "band_hash"
-    )
+    """Union the committed band indexes.  Each snapshot dir is read
+    SEPARATELY and unioned: passing sibling `snapshot_id=N` dirs to one
+    reader makes Spark's partition discovery see conflicting roots
+    (CONFLICTING_DIRECTORY_STRUCTURES) as soon as TWO snapshots are
+    committed — i.e. on day three of the ingest loop."""
+    dfs = [
+        spark.read.parquet(d).select("doc_id", "band", "band_hash")
+        for d in index_dirs
+    ]
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
 
 
 def incremental_candidates(
@@ -392,7 +402,11 @@ def merge_blooms(spark: SparkSession, *bloom_dirs: str) -> DataFrame:
     """Union committed Bloom tables into one bitmap: bit_or per word —
     Bloom filters compose by OR, so N snapshots' filters merge into a
     single m/63-row table (still broadcast-sized)."""
-    words = spark.read.parquet(*bloom_dirs)
+    words = spark.read.parquet(bloom_dirs[0]).select("widx", "bits")
+    for d in bloom_dirs[1:]:  # per-dir reads: see read_band_index
+        words = words.unionByName(
+            spark.read.parquet(d).select("widx", "bits")
+        )
     return words.groupBy("widx").agg(F.expr("bit_or(bits)").alias("bits"))
 
 
@@ -426,7 +440,13 @@ def exact_dups_via_bloom(
         .select("new_doc")
     )
     cand = new_fp.join(flagged, "new_doc")
-    committed = spark.read.parquet(*committed_fp_dirs).select(
+    committed = spark.read.parquet(committed_fp_dirs[0]).select(
         F.col("doc_id").alias("committed_doc"), "fp"
     )
+    for d in committed_fp_dirs[1:]:  # per-dir reads: see read_band_index
+        committed = committed.unionByName(
+            spark.read.parquet(d).select(
+                F.col("doc_id").alias("committed_doc"), "fp"
+            )
+        )
     return cand.join(committed, "fp").select("new_doc", "committed_doc")

@@ -189,6 +189,30 @@ def run_snapshot(
             threshold=cfg.dedup_threshold,
         )
 
+    # External-LM quality scoring hook (CCNet shape): when the config
+    # names a persisted model (scones.textops.save_lm layout), score
+    # this snapshot's extracted text against it and write the per-doc
+    # perplexity side table — deterministic overwrite, same crash-retry
+    # convention as the dedup index.  The model tables are vocab-sized
+    # (never corpus-sized); unseen text scores via add-one smoothing.
+    lm_info: dict = {}
+    if cfg.lm_model_path and not metrics_empty:
+        from .incremental import pipeline_doc_view
+        from .textops import lm_perplexity, load_lm
+
+        model = load_lm(spark, cfg.lm_model_path)
+        scores = lm_perplexity(
+            pipeline_doc_view(written, snapshot_id), model=model
+        )
+        scores_dir = os.path.join(
+            cfg.checkpoint_dir, "lm_scores", f"snapshot_id={snapshot_id}"
+        )
+        scores.write.mode("overwrite").parquet(scores_dir)
+        lm_info = {
+            "lm_scores": scores_dir,
+            "n_scored": int(spark.read.parquet(scores_dir).count()),
+        }
+
     if fail_before_commit:
         raise RuntimeError("injected crash between sink write and lineage commit")
 
@@ -214,6 +238,7 @@ def run_snapshot(
         "write_sec": t_written - t_planned,
         "audit_commit_sec": t_done - t_written,
         **dedup_info,
+        **lm_info,
     }
     # durable counters (statistics.go parity, but surviving the process)
     from .statsserver import persist_run_metrics

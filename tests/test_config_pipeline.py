@@ -96,3 +96,43 @@ def test_config_driven_daemon_end_to_end(spark, tmp_path):
             srv.stop()
     out = spark.read.parquet(os.path.join(str(tmp_path / "out"), "snapshot_id=1"))
     assert out.count() == 30
+
+
+def test_lm_model_path_scoring_hook(spark, tmp_path):
+    """lm_model_path set -> each snapshot writes a per-doc perplexity
+    side table scored against the PERSISTED model; unset -> no table,
+    no summary keys."""
+    from scones.config import PipelineConfig
+    from scones.corpus import write_corpus
+    from scones.pipeline import run_snapshot
+    from scones.textops import save_lm, train_lm
+
+    ref = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(5)],
+        ["doc_id", "text"],
+    )
+    model_dir = str(tmp_path / "model")
+    save_lm(train_lm(ref), model_dir)
+
+    write_corpus(str(tmp_path / "in"), n_docs=20, n_files=1, seed=13)
+    cfg = PipelineConfig(
+        input_glob=f"{tmp_path}/in/*.parquet",
+        output_dir=str(tmp_path / "out"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        n_sinks=2,
+        lm_model_path=model_dir,
+    )
+    s1 = run_snapshot(spark, cfg)
+    assert s1["n_scored"] == s1["rows"]
+    scores = spark.read.parquet(s1["lm_scores"])
+    assert set(scores.columns) == {"doc_id", "n_bigrams", "bits_per_bigram"}
+    assert scores.where("bits_per_bigram > 0").count() > 0
+
+    cfg2 = PipelineConfig(
+        input_glob=f"{tmp_path}/in/*.parquet",
+        output_dir=str(tmp_path / "out2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+        n_sinks=2,
+    )
+    s2 = run_snapshot(spark, cfg2)
+    assert "lm_scores" not in s2 and "n_scored" not in s2

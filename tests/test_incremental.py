@@ -211,3 +211,40 @@ def test_pipeline_exact_tier_via_bloom(spark, tmp_path):
         f for f in probe.inputFiles() if "/out/snapshot_id=1" in f
     ]
     assert committed_doc_files == []
+
+
+def test_third_snapshot_probes_two_committed_indexes(spark, tmp_path):
+    """Day-three regression: with TWO committed snapshots the index
+    readers must union per-dir reads — a single multi-path read trips
+    Spark's partition discovery (CONFLICTING_DIRECTORY_STRUCTURES) on
+    sibling snapshot_id=N roots."""
+    import shutil
+
+    from scones.config import PipelineConfig
+    from scones.corpus import write_corpus
+    from scones.pipeline import run_snapshot
+
+    root = tmp_path
+    write_corpus(str(root / "in"), n_docs=20, n_files=2, seed=41)
+    # hold back the second file so snapshots 1 and 2 differ
+    shutil.move(str(root / "in" / "docs_0001.parquet"), str(root / "held"))
+    cfg = PipelineConfig(
+        input_glob=f"{root}/in/*.parquet",
+        output_dir=str(root / "out"),
+        checkpoint_dir=str(root / "ckpt"),
+        n_sinks=2,
+        dedup_index=True,
+    )
+    assert run_snapshot(spark, cfg)["snapshot_id"] == 1
+    shutil.move(str(root / "held"), str(root / "in" / "docs_0001.parquet"))
+    assert run_snapshot(spark, cfg)["snapshot_id"] == 2
+    # snapshot 3 re-ingests snapshot 1's content: must probe BOTH
+    # committed band/bloom/fp indexes without a read error
+    shutil.copy(
+        str(root / "in" / "docs_0000.parquet"),
+        str(root / "in" / "docs_dup.parquet"),
+    )
+    s3 = run_snapshot(spark, cfg)
+    assert s3["snapshot_id"] == 3
+    assert s3["n_exact_dups"] == 10  # the 10 docs of file 0 have twins
+    assert s3["n_near_dup_pairs"] >= 10
