@@ -128,12 +128,24 @@ def main() -> None:  # pragma: no cover — CLI entry point
 
     from .session import get_spark
 
-    p = argparse.ArgumentParser(description="compact a committed snapshot")
-    p.add_argument("--output-dir", required=True)
-    p.add_argument("--snapshot-id", type=int, required=True)
+    p = argparse.ArgumentParser(
+        description="compact a committed snapshot / consolidate dedup indexes"
+    )
+    p.add_argument("--output-dir")
+    p.add_argument("--snapshot-id", type=int)
     p.add_argument("--target-mb", type=int, default=128)
+    p.add_argument(
+        "--consolidate-indexes",
+        metavar="CHECKPOINT_DIR",
+        help="fold per-snapshot band/fp/bloom index dirs into one",
+    )
     a = p.parse_args()
-    spark = get_spark(app_name="scones-compact")
+    spark = get_spark(app_name="scones-maintenance")
+    if a.consolidate_indexes:
+        print(consolidate_indexes(spark, a.consolidate_indexes))
+        return
+    if not a.output_dir or a.snapshot_id is None:
+        p.error("--output-dir and --snapshot-id required for compaction")
     print(
         compact_snapshot(
             spark, a.output_dir, a.snapshot_id, a.target_mb << 20
@@ -141,5 +153,83 @@ def main() -> None:  # pragma: no cover — CLI entry point
     )
 
 
+def consolidate_indexes(spark: SparkSession, checkpoint_dir: str) -> dict:
+    """Fold the per-snapshot dedup-index side tables (band_index /
+    fp_index / bloom_index, one ``snapshot_id=N`` dir per commit) into
+    ONE dir under the HIGHEST committed id — the same fold trick as the
+    lineage manifest: probes list dirs by committed id and skip missing
+    ones, so a consolidated dir under max(N) containing the union of
+    1..N rows answers every probe identically while day-N read cost
+    drops from N directory opens to one.  Bloom words merge by bit_or
+    (filters compose by OR).
+
+    Safety mirrors :func:`compact_snapshot`: the union lands in a
+    sibling ``.consolidating`` dir, row counts (band/fp) or the full
+    word map (bloom — ≤ m/63 rows, metadata-scale) are verified against
+    the sources, and only then are the source dirs removed and the
+    consolidated dir renamed in.  A crash before the swap leaves every
+    original untouched.
+    """
+    from .incremental import (
+        BAND_INDEX_SUBDIR,
+        BLOOM_INDEX_SUBDIR,
+        FP_INDEX_SUBDIR,
+        merge_blooms,
+    )
+
+    out: dict = {}
+    for sub, kind in (
+        (BAND_INDEX_SUBDIR, "band"),
+        (FP_INDEX_SUBDIR, "fp"),
+        (BLOOM_INDEX_SUBDIR, "bloom"),
+    ):
+        root = os.path.join(checkpoint_dir, sub)
+        if not os.path.isdir(root):
+            continue
+        dirs = sorted(
+            d for d in os.listdir(root) if d.startswith("snapshot_id=")
+        )
+        if len(dirs) < 2:
+            out[kind] = 0
+            continue
+        ids = [int(d.split("=")[1]) for d in dirs]
+        paths = [os.path.join(root, d) for d in dirs]
+        tmp = os.path.join(root, ".consolidating")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+        if kind == "bloom":
+            merged = merge_blooms(spark, *paths)
+            expected = {
+                (r["widx"], r["bits"]) for r in merged.collect()
+            }  # ≤ m/63 rows — metadata-scale
+            merged.write.mode("overwrite").parquet(tmp)
+            got = {
+                (r["widx"], r["bits"])
+                for r in spark.read.parquet(tmp).collect()
+            }
+            if got != expected:
+                raise RuntimeError("bloom consolidation verify failed")
+        else:
+            expected_rows = sum(_dir_rows(p) for p in paths)
+            union = spark.read.parquet(paths[0])
+            for p in paths[1:]:
+                union = union.unionByName(spark.read.parquet(p))
+            if kind == "band":
+                (
+                    union.repartition("band")
+                    .write.mode("overwrite")
+                    .partitionBy("band")
+                    .parquet(tmp)
+                )
+            else:
+                union.write.mode("overwrite").parquet(tmp)
+            if _dir_rows(tmp) != expected_rows:
+                raise RuntimeError(f"{kind} consolidation verify failed")
+
+        for p in paths:
+            shutil.rmtree(p)
+        shutil.move(tmp, os.path.join(root, f"snapshot_id={max(ids)}"))
+        out[kind] = len(dirs)
+    return out
 if __name__ == "__main__":  # pragma: no cover
     main()

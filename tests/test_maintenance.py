@@ -2,6 +2,8 @@
 
 import os
 
+from pyspark.sql import functions as F
+
 from scones.config import PipelineConfig
 from scones.corpus import write_corpus, write_host_meta
 from scones.maintenance import compact_snapshot
@@ -131,3 +133,73 @@ def test_flagship_server_read_timeout_kills_hung_proc():
         srv._read_json()
     srv.proc.wait(timeout=10)
     assert srv.proc.poll() is not None
+
+
+def test_consolidate_indexes_fold_preserves_probes(spark, tmp_path):
+    """Three committed snapshots' band/fp/bloom index dirs fold into one
+    under the highest id; every probe answers identically afterwards
+    (band rows equal as a set; bloom probe verdicts unchanged)."""
+    from scones.incremental import (
+        bloom_probe,
+        exact_dups_via_bloom,
+        merge_blooms,
+        read_band_index,
+        write_band_index,
+        write_exact_index,
+    )
+    from scones.maintenance import consolidate_indexes
+
+    ck = tmp_path / "ckpt"
+    docs_by_snap = {}
+    for sid in (1, 2, 3):
+        docs = spark.createDataFrame(
+            [(f"{sid}#{i}", f"snapshot {sid} doc {i} words w{i} x{i} y{i}")
+             for i in range(8)],
+            ["doc_id", "text"],
+        )
+        docs_by_snap[sid] = docs
+        write_band_index(docs, str(ck / "band_index" / f"snapshot_id={sid}"))
+        write_exact_index(
+            docs,
+            str(ck / "fp_index" / f"snapshot_id={sid}"),
+            str(ck / "bloom_index" / f"snapshot_id={sid}"),
+        )
+
+    band_dirs = [str(ck / "band_index" / f"snapshot_id={s}") for s in (1, 2, 3)]
+    before_bands = {
+        tuple(r) for r in read_band_index(spark, *band_dirs).collect()
+    }
+    bloom_dirs = [str(ck / "bloom_index" / f"snapshot_id={s}") for s in (1, 2, 3)]
+    before_bloom = {
+        tuple(r) for r in merge_blooms(spark, *bloom_dirs).collect()
+    }
+
+    res = consolidate_indexes(spark, str(ck))
+    assert res == {"band": 3, "fp": 3, "bloom": 3}
+    import os
+
+    for sub in ("band_index", "fp_index", "bloom_index"):
+        dirs = [d for d in os.listdir(ck / sub) if d.startswith("snapshot_id=")]
+        assert dirs == ["snapshot_id=3"]
+
+    only = str(ck / "band_index" / "snapshot_id=3")
+    after_bands = {tuple(r) for r in read_band_index(spark, only).collect()}
+    assert after_bands == before_bands
+    after_bloom = {
+        tuple(r)
+        for r in merge_blooms(
+            spark, str(ck / "bloom_index" / "snapshot_id=3")
+        ).collect()
+    }
+    assert after_bloom == before_bloom
+
+    # an exact-dup probe of snapshot-1 content still finds its twins
+    pairs = exact_dups_via_bloom(
+        spark,
+        docs_by_snap[1].select(
+            F.concat(F.lit("9#"), F.col("doc_id")).alias("doc_id"), "text"
+        ),
+        [str(ck / "fp_index" / "snapshot_id=3")],
+        [str(ck / "bloom_index" / "snapshot_id=3")],
+    )
+    assert pairs.count() == 8
