@@ -362,3 +362,67 @@ def streaming_dedup(
     return stream.withWatermark("warc_ts", watermark).dropDuplicatesWithinWatermark(
         list(key_cols)
     )
+
+
+def streaming_bloom_probe(
+    stream: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "url",
+    m_bits: int = 1 << 20,
+    n_hashes: int = 4,
+) -> DataFrame:
+    """Stream-vs-committed exact-dedup prefilter: flag every arriving
+    record whose key MAY already exist in the committed corpus, by
+    probing the persisted Bloom bitmap (scones/incremental.py) with
+    STATELESS stream-static broadcast joins — one per hash position
+    (n_hashes is small), so no streaming aggregation state exists at
+    all.  (The batch probe's explode -> groupBy rollup would be a
+    STATEFUL aggregation on a stream — unbounded state on an unbounded
+    key stream; per-position joins + a row-local conjunction express
+    the same predicate statelessly.)
+
+    Division of labor (the lambda split): streaming_dedup handles
+    within-horizon repeats with watermark-evicted state; THIS op covers
+    the unbounded past with O(m/63) static rows — no false negatives,
+    and flagged rows route to the batch layer's exact fingerprint join
+    rather than being dropped in-flight (a false positive must never
+    lose a record).  The same plan runs unchanged on a batch frame.
+    """
+    out = stream
+    hits = []
+    for h in range(n_hashes):
+        p = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("|", F.lit(str(h)), F.col(key_col))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+        )
+        out = out.withColumn(f"_p{h}", p)
+        out = out.withColumn(
+            f"_w{h}", F.expr(f"_p{h} div 63")
+        ).withColumn(
+            f"_m{h}",
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(_p{h} % 63 AS INT))"),
+        )
+        side = F.broadcast(
+            bloom.select(
+                F.col("widx").alias(f"_w{h}"), F.col("bits").alias(f"_b{h}")
+            )
+        )
+        out = out.join(side, f"_w{h}", "left")
+        hits.append(
+            F.col(f"_b{h}").isNotNull()
+            & (F.col(f"_b{h}").bitwiseAND(F.col(f"_m{h}")) != 0)
+        )
+    seen = hits[0]
+    for hcond in hits[1:]:
+        seen = seen & hcond
+    out = out.withColumn("maybe_seen", seen)
+    drop = [c for h in range(n_hashes) for c in (f"_p{h}", f"_w{h}", f"_m{h}", f"_b{h}")]
+    return out.drop(*drop)

@@ -270,3 +270,61 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         [(r["url"], r["warc_ts"]) for r in dup_rows], "url string, warc_ts timestamp"
     )
     assert streaming_dedup(batch, key_cols=("url",)).count() == n_unique
+
+
+def test_streaming_bloom_probe_flags_committed_keys(spark, tmp_path):
+    """A stream-static Bloom probe flags keys the committed corpus has
+    seen (no false negatives), leaves fresh keys unflagged at this
+    sizing, runs STATELESS (no streaming aggregation state — the plan
+    has no stateful operator), and the same helper on a batch frame
+    agrees row-for-row."""
+    from scones.incremental import bloom_build
+    from scones.streaming import stream_source, streaming_bloom_probe
+
+    indir = tmp_path / "in"
+    outdir = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    indir.mkdir()
+    rows = generate_rows(n_docs=30, seed=9)
+    _write_files(str(indir), rows, n_files=3)
+
+    committed_urls = sorted({r["url"] for r in rows})[:15]
+    committed = spark.createDataFrame(
+        [(u,) for u in committed_urls], ["url"]
+    )
+    bloom = bloom_build(committed, "url", m_bits=1 << 16, n_hashes=4)
+
+    stream = stream_source(spark, str(indir), max_files=1)
+    flagged = streaming_bloom_probe(
+        stream, bloom, key_col="url", m_bits=1 << 16, n_hashes=4
+    )
+    # Statelessness proof: the query runs in APPEND mode with NO
+    # watermark — Structured Streaming rejects stateful aggregation
+    # under exactly these conditions, so start()+completion below IS
+    # the assertion.  (The bloom_build Aggregate in the plan sits on
+    # the STATIC side of the join — computed per micro-batch, no
+    # streaming state.)
+    q = (
+        flagged.selectExpr("url", "maybe_seen")
+        .writeStream.format("parquet")
+        .option("path", str(outdir))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+    got = {r.url: r.maybe_seen for r in spark.read.parquet(str(outdir)).collect()}
+    assert all(got[u] for u in committed_urls)  # no false negatives
+    fresh = [u for u in got if u not in committed_urls]
+    assert sum(1 for u in fresh if got[u]) <= 1  # FP ~ 0 at this sizing
+
+    # batch fallback: identical flags from the same helper
+    batch = spark.read.parquet(str(indir))
+    b = {
+        r.url: r.maybe_seen
+        for r in streaming_bloom_probe(
+            batch, bloom, key_col="url", m_bits=1 << 16, n_hashes=4
+        ).select("url", "maybe_seen").collect()
+    }
+    assert b == got
