@@ -2681,6 +2681,28 @@ def script_profile_query(spark, sf_dir):
     return textops.script_profile(_t(spark, sf_dir, "documents"))
 
 
+# Per-group exact value percentiles (Spark `percentile` and DuckDB
+# `quantile_cont` share the linear-interpolation definition).
+@_q(
+    "value_percentiles",
+    """
+    WITH q AS (
+      SELECT event_type, COUNT(*) AS n_events,
+             quantile_cont(value, [0.5, 0.95, 0.99]) AS p
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type, n_events,
+           ROUND(p[1], 4) AS p50, ROUND(p[2], 4) AS p95,
+           ROUND(p[3], 4) AS p99
+    FROM q
+    """,
+)
+def value_percentiles_query(spark, sf_dir):
+    from scones.events import value_percentiles
+
+    return value_percentiles(_t(spark, sf_dir, "events"))
+
+
 # Per-language tokenizer fertility profile (subwords per whitespace
 # token, chars per token) — the multilingual-vocab audit table.
 @_q(

@@ -158,6 +158,7 @@ BENCH_QUERIES = [
     "asof_last_error",
     "range_band_join",
     "script_profile",
+    "value_percentiles",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary

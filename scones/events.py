@@ -197,3 +197,37 @@ def range_join_bands(
         )
         .select(id_col, value_col, "band", "lo", "hi")
     )
+
+
+def value_percentiles(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group EXACT p50/p95/p99 of a numeric column — the
+    latency/size percentile table every log pipeline publishes.  Both
+    engines use the same linear-interpolation definition (Spark
+    ``percentile`` == DuckDB ``quantile_cont``), so values match to the
+    rounding digit.
+
+    Scale shape: exact percentile sorts each group's values — fine for
+    grouped telemetry (groups ~10²-10⁴, AQE-balanced), and the whole
+    aggregate is one exchange.  At extreme per-group cardinality the
+    production swap is ``approx_percentile`` (t-digest, map-side
+    combinable, bounded memory) at the cost of exactness — same plan
+    shape, documented here rather than silently substituted, because
+    the oracle gate requires the exact form.
+    """
+    pcts = df.groupBy(group_col).agg(
+        F.count("*").alias("n_events"),
+        F.expr(f"percentile({value_col}, array(0.5, 0.95, 0.99))").alias(
+            "_p"
+        ),
+    )
+    return pcts.select(
+        group_col,
+        "n_events",
+        F.round(F.col("_p")[0], 4).alias("p50"),
+        F.round(F.col("_p")[1], 4).alias("p95"),
+        F.round(F.col("_p")[2], 4).alias("p99"),
+    )
