@@ -2681,6 +2681,25 @@ def script_profile_query(spark, sf_dir):
     return textops.script_profile(_t(spark, sf_dir, "documents"))
 
 
+# Tumbling-window event rates: Spark F.window's epoch-aligned buckets
+# equal DuckDB time_bucket's; sums fold as DECIMAL(18,2) so the
+# aggregate is commutative and engine-exact.
+@_q(
+    "event_rate_windows",
+    """
+    SELECT event_type,
+           time_bucket(INTERVAL '15 minutes', ts) AS bucket_start,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def event_rate_windows_query(spark, sf_dir):
+    from scones.events import event_rate_windows
+
+    return event_rate_windows(_t(spark, sf_dir, "events"))
+
+
 # Per-group exact value percentiles (Spark `percentile` and DuckDB
 # `quantile_cont` share the linear-interpolation definition).
 @_q(

@@ -159,6 +159,7 @@ BENCH_QUERIES = [
     "range_band_join",
     "script_profile",
     "value_percentiles",
+    "event_rate_windows",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary

@@ -231,3 +231,38 @@ def value_percentiles(
         F.round(F.col("_p")[1], 4).alias("p95"),
         F.round(F.col("_p")[2], 4).alias("p99"),
     )
+
+
+def event_rate_windows(
+    df: DataFrame,
+    window_duration: str = "15 minutes",
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Tumbling-window event rates: per (group, window) count + value
+    sum — the batch twin of streaming.windowed_host_counts, built on
+    Spark's native ``F.window`` (epoch-aligned tumbling buckets, the
+    same alignment as DuckDB's ``time_bucket``).  One map-side-
+    combinable groupBy; the window struct is a row-local projection,
+    not a window FUNCTION — no sort, no per-group state.
+    """
+    return (
+        df.groupBy(group_col, F.window(ts_col, window_duration).alias("w"))
+        .agg(
+            F.count("*").alias("n_events"),
+            # decimal fold: double summation is partition-order-
+            # sensitive; casting to DECIMAL(18,2) (the values' native
+            # precision) makes the sum commutative and engine-exact
+            # (the lm_perplexity recipe)
+            F.sum(F.col(value_col).cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .select(
+            group_col,
+            F.col("w.start").alias("bucket_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
