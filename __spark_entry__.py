@@ -2681,6 +2681,28 @@ def script_profile_query(spark, sf_dir):
     return textops.script_profile(_t(spark, sf_dir, "documents"))
 
 
+# Typed extraction from the semi-structured props JSON column (the
+# grok sibling for structured payloads) + per-group rollup.
+@_q(
+    "props_field_stats",
+    """
+    WITH p AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS v
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n_events, COUNT(v) AS n_with_field,
+           CAST(SUM(v) AS BIGINT) AS sum_field,
+           MIN(v) AS min_field, MAX(v) AS max_field
+    FROM p GROUP BY event_type
+    """,
+)
+def props_field_stats_query(spark, sf_dir):
+    from scones.events import props_field_stats
+
+    return props_field_stats(_t(spark, sf_dir, "events"))
+
+
 # Tumbling-window event rates: Spark F.window's epoch-aligned buckets
 # equal DuckDB time_bucket's; sums fold as DECIMAL(18,2) so the
 # aggregate is commutative and engine-exact.

@@ -160,6 +160,7 @@ BENCH_QUERIES = [
     "script_profile",
     "value_percentiles",
     "event_rate_windows",
+    "props_field_stats",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary

@@ -266,3 +266,36 @@ def event_rate_windows(
             "sum_value",
         )
     )
+
+
+def props_field_stats(
+    df: DataFrame,
+    field: str = "k",
+    group_col: str = "event_type",
+    props_col: str = "props",
+) -> DataFrame:
+    """Typed extraction over the semi-structured ``props`` JSON column
+    (the structured-payload sibling of grok parsing: logs carry JSON
+    blobs; the engine must project typed fields out of them without a
+    Python hop) + a per-group rollup.  ``from_json`` with an explicit
+    schema is the Spark-first path — typed at parse, codegen-friendly,
+    malformed JSON degrades to NULL (counted, never crashing the
+    pipeline).
+
+    One row-local parse + one map-side-combinable groupBy; integer
+    sums, engine-exact.
+    """
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField(field, LongType())])
+    parsed = df.select(
+        group_col,
+        F.from_json(F.col(props_col), schema)[field].alias("_v"),
+    )
+    return parsed.groupBy(group_col).agg(
+        F.count("*").alias("n_events"),
+        F.count("_v").alias("n_with_field"),
+        F.sum("_v").alias("sum_field"),
+        F.min("_v").alias("min_field"),
+        F.max("_v").alias("max_field"),
+    )

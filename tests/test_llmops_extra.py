@@ -735,3 +735,24 @@ def test_script_profile_mixed_script_doc(spark):
     assert r.n_chars == len("abc 123 你好 привет")
     assert r.frac_han == round(2 / r.n_chars, 6)
     assert got[2].n_chars == 0 and got[2].frac_latin == 0.0
+
+
+def test_props_field_stats_malformed_json_degrades_to_null(spark):
+    """Malformed JSON and missing fields become NULLs that are COUNTED
+    (n_events vs n_with_field), never pipeline crashes; sums are exact
+    integers."""
+    from scones.events import props_field_stats
+
+    df = spark.createDataFrame(
+        [
+            ("click", '{"k": 10}'),
+            ("click", '{"k": 32}'),
+            ("click", "not json at all"),
+            ("view", '{"other": 1}'),
+        ],
+        ["event_type", "props"],
+    )
+    got = {r.event_type: r for r in props_field_stats(df).collect()}
+    assert got["click"].n_events == 3 and got["click"].n_with_field == 2
+    assert got["click"].sum_field == 42
+    assert got["view"].n_with_field == 0 and got["view"].sum_field is None
