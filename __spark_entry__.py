@@ -2681,6 +2681,34 @@ def script_profile_query(spark, sf_dir):
     return textops.script_profile(_t(spark, sf_dir, "documents"))
 
 
+# CUBE rollup with grouping_id — Spark's grouping-set bit semantics
+# equal DuckDB's GROUPING(); totals fold as DECIMAL(18,2) for
+# commutative engine-exact sums.
+@_q(
+    "orders_cube",
+    """
+    SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS total_price,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS INT) AS gid
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def orders_cube_query(spark, sf_dir):
+    """All four grouping sets of (status, priority) in ONE pass — the
+    Expand operator materializes the sets map-side, so the cube costs
+    one scan + one exchange, not four separate aggregations."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+        F.grouping_id().cast("int").alias("gid"),
+    )
+
+
 # Typed extraction from the semi-structured props JSON column (the
 # grok sibling for structured payloads) + per-group rollup.
 @_q(

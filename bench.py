@@ -161,6 +161,7 @@ BENCH_QUERIES = [
     "value_percentiles",
     "event_rate_windows",
     "props_field_stats",
+    "orders_cube",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary
