@@ -449,4 +449,12 @@ def exact_dups_via_bloom(
                 F.col("doc_id").alias("committed_doc"), "fp"
             )
         )
-    return cand.join(committed, "fp").select("new_doc", "committed_doc")
+    # distinct: a crash between index consolidation's target swap and
+    # its source prune can leave a committed fingerprint row present in
+    # two index dirs until the next maintenance run — pairs must not
+    # double for it.
+    return (
+        cand.join(committed, "fp")
+        .select("new_doc", "committed_doc")
+        .distinct()
+    )

@@ -194,9 +194,21 @@ def consolidate_indexes(spark: SparkSession, checkpoint_dir: str) -> dict:
             continue
         ids = [int(d.split("=")[1]) for d in dirs]
         paths = [os.path.join(root, d) for d in dirs]
+        target = os.path.join(root, f"snapshot_id={max(ids)}")
         tmp = os.path.join(root, ".consolidating")
-        shutil.rmtree(tmp, ignore_errors=True)
+        old = target + ".old"
+        # crash recovery FIRST (compact_snapshot recipe): a death
+        # between the two swap renames leaves old/ but no target/ —
+        # restore before any cleanup, else the max-id index is lost.
+        if os.path.isdir(old) and not os.path.isdir(target):
+            os.rename(old, target)
+        for stale in (tmp, old):
+            shutil.rmtree(stale, ignore_errors=True)
 
+        # Unions DEDUPLICATE: a crash between the target swap and the
+        # source prune (below) leaves sources whose rows are already in
+        # the consolidated target — the next run must not double them.
+        # (bloom's bit_or is idempotent by nature.)
         if kind == "bloom":
             merged = merge_blooms(spark, *paths)
             expected = {
@@ -210,10 +222,11 @@ def consolidate_indexes(spark: SparkSession, checkpoint_dir: str) -> dict:
             if got != expected:
                 raise RuntimeError("bloom consolidation verify failed")
         else:
-            expected_rows = sum(_dir_rows(p) for p in paths)
             union = spark.read.parquet(paths[0])
             for p in paths[1:]:
                 union = union.unionByName(spark.read.parquet(p))
+            union = union.dropDuplicates()
+            expected_rows = union.count()
             if kind == "band":
                 (
                     union.repartition("band")
@@ -226,9 +239,18 @@ def consolidate_indexes(spark: SparkSession, checkpoint_dir: str) -> dict:
             if _dir_rows(tmp) != expected_rows:
                 raise RuntimeError(f"{kind} consolidation verify failed")
 
+        # PROMOTE the consolidated dir into the target name first
+        # (swap with .old recovery), and only THEN prune the other
+        # sources — no source is deleted before a dir containing its
+        # rows is durably in place, so a crash at ANY point leaves a
+        # probe-correct state (worst case: duplicated rows that the
+        # next run's dropDuplicates folds away).
+        os.rename(target, old)
+        os.rename(tmp, target)
+        shutil.rmtree(old, ignore_errors=True)
         for p in paths:
-            shutil.rmtree(p)
-        shutil.move(tmp, os.path.join(root, f"snapshot_id={max(ids)}"))
+            if p != target:
+                shutil.rmtree(p)
         out[kind] = len(dirs)
     return out
 if __name__ == "__main__":  # pragma: no cover

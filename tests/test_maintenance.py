@@ -203,3 +203,53 @@ def test_consolidate_indexes_fold_preserves_probes(spark, tmp_path):
         [str(ck / "bloom_index" / "snapshot_id=3")],
     )
     assert pairs.count() == 8
+
+
+def test_consolidation_crash_window_leaves_probe_correct_state(spark, tmp_path):
+    """Simulate the crash window between the target swap and the source
+    prune: a source dir whose rows are ALREADY in the consolidated
+    target must neither break probes (pairs stay distinct) nor double
+    rows on the next consolidation run (dropDuplicates folds them)."""
+    import shutil
+
+    from scones.incremental import (
+        exact_dups_via_bloom,
+        write_exact_index,
+    )
+    from scones.maintenance import consolidate_indexes
+
+    ck = tmp_path / "ckpt"
+    docs = spark.createDataFrame(
+        [(f"1#{i}", f"doc {i} body w{i}") for i in range(6)],
+        ["doc_id", "text"],
+    )
+    write_exact_index(
+        docs,
+        str(ck / "fp_index" / "snapshot_id=1"),
+        str(ck / "bloom_index" / "snapshot_id=1"),
+    )
+    # crash artifact: snapshot 2's dir duplicates snapshot 1's rows
+    shutil.copytree(
+        str(ck / "fp_index" / "snapshot_id=1"),
+        str(ck / "fp_index" / "snapshot_id=2"),
+    )
+    shutil.copytree(
+        str(ck / "bloom_index" / "snapshot_id=1"),
+        str(ck / "bloom_index" / "snapshot_id=2"),
+    )
+    probe_docs = docs.select(
+        F.concat(F.lit("9#"), F.col("doc_id")).alias("doc_id"), "text"
+    )
+    dup_dirs = lambda sub: [
+        str(ck / sub / d) for d in ("snapshot_id=1", "snapshot_id=2")
+    ]
+    pairs = exact_dups_via_bloom(
+        spark, probe_docs, dup_dirs("fp_index"), dup_dirs("bloom_index")
+    )
+    assert pairs.count() == 6  # one pair per doc, not doubled
+
+    res = consolidate_indexes(spark, str(ck))
+    assert res["fp"] == 2 and res["bloom"] == 2
+    # after the self-healing fold: single dir, UNDUPLICATED rows
+    fp = spark.read.parquet(str(ck / "fp_index" / "snapshot_id=2"))
+    assert fp.count() == 6
