@@ -2681,6 +2681,44 @@ def script_profile_query(spark, sf_dir):
     return textops.script_profile(_t(spark, sf_dir, "documents"))
 
 
+# TPC-H Q6 (forecast revenue change): the canonical filter-everything
+# scan-aggregate — every predicate must reach the parquet scan
+# (plan-locked), and the revenue sum folds as DECIMAL so the single
+# output value is engine-exact.
+@_q(
+    "tpch_q6",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+             AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def tpch_q6_query(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    f = li.where(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return f.agg(
+        F.sum(
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * F.col("l_discount").cast("decimal(18,2)")
+        )
+        .cast("double")
+        .alias("revenue"),
+        F.count("*").alias("n_lines"),
+    )
+
+
 # CUBE rollup with grouping_id — Spark's grouping-set bit semantics
 # equal DuckDB's GROUPING(); totals fold as DECIMAL(18,2) for
 # commutative engine-exact sums.

@@ -162,6 +162,7 @@ BENCH_QUERIES = [
     "event_rate_windows",
     "props_field_stats",
     "orders_cube",
+    "tpch_q6",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary

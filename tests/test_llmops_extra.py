@@ -756,3 +756,48 @@ def test_props_field_stats_malformed_json_degrades_to_null(spark):
     assert got["click"].n_events == 3 and got["click"].n_with_field == 2
     assert got["click"].sum_field == 42
     assert got["view"].n_with_field == 0 and got["view"].sum_field is None
+
+
+def test_asof_join_matches_bruteforce_on_random_timelines(spark):
+    """Randomized equivalence: many random (key, ts) timelines —
+    duplicate timestamps, keys with no right rows, right-only keys —
+    all folded into ONE Spark run (instance-namespaced keys) and
+    compared against the O(|L|x|R|) brute-force definition of as-of:
+    max right ts <= left ts per key."""
+    import datetime as dt
+    import random
+
+    from scones.events import asof_join
+
+    rng = random.Random(20260817)
+    t0 = dt.datetime(2024, 1, 1)
+    lrows, rrows, expect = [], [], {}
+    eid = 0
+    for inst in range(12):
+        keys = [f"i{inst}-k{j}" for j in range(rng.randint(1, 4))]
+        right = [
+            (k, rng.randint(0, 50))
+            for k in keys
+            for _ in range(rng.randint(0, 5))
+        ]
+        for k, m in right:
+            rrows.append((k, t0 + dt.timedelta(minutes=m)))
+        for k in keys:
+            for _ in range(rng.randint(0, 6)):
+                m = rng.randint(0, 50)
+                eid += 1
+                lrows.append((eid, k, t0 + dt.timedelta(minutes=m)))
+                prior = [rm for rk, rm in right if rk == k and rm <= m]
+                expect[eid] = (
+                    t0 + dt.timedelta(minutes=max(prior)) if prior else None
+                )
+    left = spark.createDataFrame(
+        lrows, "event_id bigint, user_id string, ts timestamp_ntz"
+    )
+    right_df = spark.createDataFrame(
+        rrows, "user_id string, ts timestamp_ntz"
+    ).distinct()
+    got = {
+        r.event_id: r.asof_ts for r in asof_join(left, right_df).collect()
+    }
+    assert got == expect

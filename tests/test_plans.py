@@ -344,3 +344,15 @@ def test_range_join_plan_is_equi_not_nested_loop(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q6_pushes_all_predicates_to_scan(spark):
+    """Q6 is the pushdown benchmark: shipdate range, discount band and
+    quantity cap must all reach the parquet scan as PushedFilters, and
+    the aggregate partial-combines."""
+    df = entrymod.queries()["tpch_q6"](spark, SF_DIR)
+    plan = _plan(df)
+    scan = next(l for l in plan.splitlines() if "PushedFilters" in l)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in scan, scan
+    assert plan.count("HashAggregate") >= 2
