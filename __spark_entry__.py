@@ -2693,8 +2693,8 @@ def script_profile_query(spark, sf_dir):
              AS revenue,
            COUNT(*) AS n_lines
     FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
-      AND l_shipdate < TIMESTAMP '1995-01-01'
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
       AND l_discount BETWEEN 0.05 AND 0.07
       AND l_quantity < 24
     """,
@@ -2702,8 +2702,8 @@ def script_profile_query(spark, sf_dir):
 def tpch_q6_query(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     f = li.where(
-        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp_ntz"))
-        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp_ntz"))
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
         & (F.col("l_discount") >= 0.05)
         & (F.col("l_discount") <= 0.07)
         & (F.col("l_quantity") < 24)
@@ -2716,6 +2716,47 @@ def tpch_q6_query(spark, sf_dir):
         .cast("double")
         .alias("revenue"),
         F.count("*").alias("n_lines"),
+    )
+
+
+# TPC-H Q12 shape (shipping-priority counts): fact-fact equi-join on
+# the order key with CASE-conditional integer aggregation; the synth
+# lineitem lacks l_shipmode, so the mode classes derive from
+# l_linenumber parity (same plan shape: join + conditional sums).
+@_q(
+    "tpch_q12_like",
+    """
+    SELECT CASE WHEN l.l_linenumber % 2 = 0 THEN 'MAIL' ELSE 'SHIP' END
+             AS shipmode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def tpch_q12_like_query(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.when(F.col("l_linenumber") % 2 == 0, F.lit("MAIL"))
+            .otherwise(F.lit("SHIP"))
+            .alias("shipmode")
+        )
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("shipmode")
     )
 
 

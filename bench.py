@@ -163,6 +163,7 @@ BENCH_QUERIES = [
     "props_field_stats",
     "orders_cube",
     "tpch_q6",
+    "tpch_q12_like",
 ]
 
 # The dedup/decontamination family re-benched on a REALISTIC-vocabulary
