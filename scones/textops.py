@@ -394,7 +394,9 @@ def dup_components(
         sym.groupBy("u")
         .agg(F.min("v").alias("mn"))
         .select("u", F.least("u", "mn").alias("comp"))
-        .localCheckpoint()
+        # lazy: the label_sum action below materializes the checkpoint,
+        # so each round pays ONE job, not a checkpoint job + an agg job
+        .localCheckpoint(eager=False)
     )
     # decimal accumulator: with 64-bit hash doc ids, a bigint Σcomp
     # overflows under ANSI mode at production node counts
@@ -424,7 +426,7 @@ def dup_components(
                 "u",
                 F.least("comp", F.coalesce("comp2", F.col("comp"))).alias("comp"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         new = label_sum(labels)
         if new == cur:
@@ -481,7 +483,9 @@ def dup_components_star(
         pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint()
+        # lazy: the checksum action below materializes the checkpoint —
+        # one job per round instead of a checkpoint job + an agg job
+        .localCheckpoint(eager=False)
     )
 
     def checksum(e: DataFrame) -> tuple:
@@ -544,7 +548,7 @@ def dup_components_star(
             .select("u", F.least("v", F.coalesce("v2", F.col("v"))).alias("v"))
             .where(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         cur = checksum(edges)
         if cur == prev:
