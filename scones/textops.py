@@ -970,10 +970,25 @@ class LmModel:
     table's row count, so persisted models need no side metadata).
     """
 
-    def __init__(self, bigrams: DataFrame, unigrams: DataFrame, vocab_size: int):
+    def __init__(
+        self,
+        bigrams: DataFrame,
+        unigrams: DataFrame,
+        vocab_size: int | None = None,
+    ):
         self.bigrams = bigrams
         self.unigrams = unigrams
-        self.vocab_size = int(vocab_size)
+        # None = lazy: scoring derives V in-plan from the unigram table
+        # (one scalar aggregate fused into the scoring DAG) instead of
+        # paying an eager count() job at model-construction time; the
+        # property materializes it only if a caller actually asks.
+        self._vocab_size = int(vocab_size) if vocab_size is not None else None
+
+    @property
+    def vocab_size(self) -> int:
+        if self._vocab_size is None:
+            self._vocab_size = self.unigrams.count()
+        return self._vocab_size
 
 
 def train_lm(df: DataFrame, text_col: str = "text") -> LmModel:
@@ -994,7 +1009,10 @@ def train_lm(df: DataFrame, text_col: str = "text") -> LmModel:
         .groupBy("w1")
         .agg(F.count("*").alias("c_unigram"))
     )
-    return LmModel(bigram_counts, unigram_counts, unigram_counts.count())
+    # vocab size stays LAZY (see LmModel): lm_perplexity folds the
+    # unigram-table count into the scoring plan as a broadcast scalar,
+    # so building + scoring a self-trained model is one job, not two
+    return LmModel(bigram_counts, unigram_counts)
 
 
 def save_lm(model: LmModel, path: str) -> None:
@@ -1067,17 +1085,24 @@ def lm_perplexity(
     # under an external model, unseen bigrams/unigrams still score
     # through the add-one smoothing instead of silently vanishing
     # from the per-doc average.
+    if model._vocab_size is not None:
+        scored = doc_bigrams
+        vs = F.lit(float(model.vocab_size))
+    else:
+        # V folded into the plan: a one-row broadcast of COUNT(unigrams)
+        # instead of an eager .count() job before scoring — the same
+        # number reaches the smoothing formula, one Spark job cheaper
+        v_df = model.unigrams.agg(F.count(F.lit(1)).alias("_lm_vs"))
+        scored = doc_bigrams.crossJoin(F.broadcast(v_df))
+        vs = F.col("_lm_vs").cast("double")
     scored = (
-        doc_bigrams.join(model.bigrams, ["w1", "w2"], "left")
+        scored.join(model.bigrams, ["w1", "w2"], "left")
         .join(model.unigrams, "w1", "left")
         .withColumn(
             "nll",
             -F.log2(
                 (F.coalesce(F.col("c_bigram"), F.lit(0)) + 1)
-                / (
-                    F.coalesce(F.col("c_unigram"), F.lit(0))
-                    + F.lit(float(model.vocab_size))
-                )
+                / (F.coalesce(F.col("c_unigram"), F.lit(0)) + vs)
             ),
         )
     )
@@ -1444,21 +1469,27 @@ def dsir_weights(
     def bucket_of(col):
         return F.conv(F.substring(F.md5(col), 1, 4), 16, 10).cast("int") % m
 
-    def bucket_counts(frame) -> dict[int, int]:
-        rows = (
-            frame.select(
-                F.explode(_hashed_ngrams_col(text_col)).alias("ng")
-            )
-            .groupBy(bucket_of(F.col("ng")).alias("b"))
-            .agg(F.count("*").alias("c"))
-            .collect()
+    # ONE model-fit job, not two: the target and raw bucket histograms
+    # are unioned with a side tag and aggregated together, so the fit
+    # pays one job submission and its stages overlap (guide §2.6) —
+    # the collect stays metadata-scale (≤ 2m rows).
+    def side(frame, tag: int):
+        return frame.select(
+            F.lit(tag).alias("_side"),
+            F.explode(_hashed_ngrams_col(text_col)).alias("ng"),
         )
-        return {r["b"]: r["c"] for r in rows}
 
+    rows = (
+        side(target_df, 0)
+        .unionByName(side(df, 1))
+        .groupBy("_side", bucket_of(F.col("ng")).alias("b"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
     import math
 
-    cp = bucket_counts(target_df)
-    cq = bucket_counts(df)
+    cp = {r["b"]: r["c"] for r in rows if r["_side"] == 0}
+    cq = {r["b"]: r["c"] for r in rows if r["_side"] == 1}
     tot_p = sum(cp.values()) + m
     tot_q = sum(cq.values()) + m
     ratios = [
@@ -1470,7 +1501,10 @@ def dsir_weights(
         for b in range(m)
     ]
     ratio_arr = F.array(*[F.lit(r).cast("decimal(28,9)") for r in ratios])
-    ngrams = _hashed_ngrams_col(text_col)
+    # the ngram array is PROJECTED ONCE: referencing the expression both
+    # in size() and as the fold input would re-evaluate the whole
+    # split+zip construction per reference (the no-CSE pitfall, round 5)
+    ngrams = F.col("_dsir_ngrams")
     weight = F.aggregate(
         ngrams,
         F.lit(0).cast("decimal(38,9)"),
@@ -1480,6 +1514,8 @@ def dsir_weights(
         ).cast("decimal(38,9)"),
     )
     return df.select(
+        id_col, _hashed_ngrams_col(text_col).alias("_dsir_ngrams")
+    ).select(
         id_col,
         F.size(ngrams).cast("bigint").alias("n_ngrams"),
         F.round(weight.cast("double"), 4).alias("weight"),
