@@ -40,8 +40,10 @@ def main() -> None:
     args = p.parse_args()
 
     import __spark_entry__ as entrymod
+    from bench import reset_host_memory
     from scones.session import get_spark
 
+    reset_host_memory()  # same protocol as bench.py: measure code, not host decay
     os.environ.setdefault("SCONES_DRIVER_MEM", "12g")
     spark = get_spark(master=f"local[{CPUS}]", app_name="scones-bench-extra")
     qs = entrymod.queries()

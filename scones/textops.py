@@ -182,7 +182,13 @@ def ngram_jaccard_pairs(
     capped shingle universe (set sizes capped consistently).  See
     ``minhash_lsh_pairs`` for the fully sub-quadratic path.
     """
-    sh = shingles(df, k).withColumn("sh_md5", F.md5("shingle")).drop("shingle")
+    # join/group key is unhex(md5): the identical equality classes as the
+    # hex string (unhex is bijective on md5 output) at 16 bytes instead
+    # of a 32-char UTF8 string — half the shuffle/build width of the
+    # hottest self-join in the repo (guide §2.3 "narrower types")
+    sh = shingles(df, k).withColumn(
+        "sh_md5", F.unhex(F.md5("shingle"))
+    ).drop("shingle")
     if max_df > 0:
         freq = sh.groupBy("sh_md5").agg(F.count("*").alias("df_"))
         sh = (
@@ -324,7 +330,11 @@ def verify_candidate_pairs(
     intersection join never touches non-candidate shingles (at 10^12
     docs the candidate set is sparse; the full relation is not).
     """
-    sh = shingles(docs, k).withColumn("sh_md5", F.md5("shingle")).drop("shingle")
+    # 16-byte binary join key — same equality classes as the hex string
+    # at half the width (see ngram_jaccard_pairs)
+    sh = shingles(docs, k).withColumn(
+        "sh_md5", F.unhex(F.md5("shingle"))
+    ).drop("shingle")
     cand_docs = (
         candidates.select(F.col("doc_a").alias("doc_id"))
         .union(candidates.select(F.col("doc_b").alias("doc_id")))
