@@ -297,6 +297,7 @@ def minhash_lsh_pairs(
     band_size: int = 2,
     k: int = 3,
     threshold: float = 0.5,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Sub-quadratic near-dup: band the minhash signature, bucket-join,
     verify candidates with exact Jaccard.
@@ -304,8 +305,20 @@ def minhash_lsh_pairs(
     Candidate generation never compares all pairs — docs only meet if a
     whole band of their signatures collides (the LSH guarantee), so the
     self-join key is (band, band_hash) and stays tiny even at 10^12 docs.
+
+    ``bands`` lets a caller that ALREADY holds this corpus's band index
+    (e.g. the incremental commit loop) pass it in instead of paying the
+    signature scan again.  When None, the computed band table is lazily
+    local-checkpointed before the self-join: both join sides and both
+    verify references then read the materialized blocks instead of
+    re-running the whole signature subtree per reference — the plan
+    shrinks from O(references) signature scans to one (guide §3.3:
+    materialize an intermediate to truncate a duplicated plan).
     """
-    bands = minhash_bands(df, num_hashes, band_size, k)
+    if bands is None:
+        bands = minhash_bands(df, num_hashes, band_size, k).localCheckpoint(
+            eager=False
+        )
     a = bands.alias("a")
     b = bands.alias("b")
     candidates = (
@@ -897,7 +910,7 @@ def span_dedup(
                 )
             ).alias("span_idx", "span"),
         )
-        .withColumn("span_key", F.md5("span"))
+        .withColumn("span_key", F.unhex(F.md5("span")))  # 16-byte key
     )
     winners = spans.groupBy("span_key").agg(
         F.min(F.struct(F.col(id_col).alias("d"), F.col("span_idx").alias("s"))).alias(
@@ -1385,7 +1398,7 @@ def paragraph_dedup(
             "para", F.trim(F.regexp_replace("para_raw", r"[ \t\r]+", " "))
         )
         .where(F.col("para") != "")
-        .withColumn("para_key", F.md5("para"))
+        .withColumn("para_key", F.unhex(F.md5("para")))  # 16-byte key
         .drop("para_raw")
     )
     winners = paras.groupBy("para_key").agg(
@@ -1975,7 +1988,8 @@ def _window_occurrences(
     df: DataFrame, k: int, id_col: str, text_col: str
 ) -> DataFrame:
     """(id, pos, wh) for every k-token window — pos is 1-based, wh the
-    16-hex-char md5 of the space-joined window (row-local).
+    8-byte (16 hex nibbles) md5 prefix of the space-joined window
+    (row-local).
 
     Tokens are PROJECTED ONCE before the window lambda: inlining
     tokens_col() would paste the split+filter into every element_at
@@ -1984,22 +1998,27 @@ def _window_occurrences(
     on this op)."""
     df = df.select(id_col, tokens_col(text_col).alias("_w_toks"))
     toks = F.col("_w_toks")
+    # wh is the BINARY unhex of the 16-hex-char md5 prefix: the same
+    # equality classes at 8 bytes instead of a 16-char string — narrower
+    # group/join keys through the whole dup-window family (§2.3)
     win = F.transform(
         F.sequence(F.lit(0), F.size(toks) - k),
         lambda i: F.struct(
             (i + 1).cast("int").alias("pos"),
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ",
-                        *[
-                            F.element_at(toks, (i + j + 1).cast("int"))
-                            for j in range(k)
-                        ],
-                    )
-                ),
-                1,
-                16,
+            F.unhex(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            " ",
+                            *[
+                                F.element_at(toks, (i + j + 1).cast("int"))
+                                for j in range(k)
+                            ],
+                        )
+                    ),
+                    1,
+                    16,
+                )
             ).alias("wh"),
         ),
     )
@@ -2007,7 +2026,7 @@ def _window_occurrences(
         id_col,
         F.explode(
             F.when(F.size(toks) >= k, win).otherwise(
-                F.array().cast("array<struct<pos:int,wh:string>>")
+                F.array().cast("array<struct<pos:int,wh:binary>>")
             )
         ).alias("w"),
     ).select(id_col, F.col("w.pos").alias("pos"), F.col("w.wh").alias("wh"))
