@@ -171,7 +171,11 @@ def run_daemon(
     def jittered(d: float) -> float:
         if jitter_frac <= 0.0:
             return d
-        return d * (1.0 + jitter_frac * (2.0 * rng.random() - 1.0))
+        # clamp: a misconfigured jitter_frac > 1 could otherwise produce
+        # a negative delay, and time.sleep(negative) raises ValueError —
+        # crashing the supervisor loop the jitter exists to harden
+        # (round-5 ADVICE)
+        return max(0.0, d * (1.0 + jitter_frac * (2.0 * rng.random() - 1.0)))
 
     done: list[dict] = []
     iterations = 0

@@ -40,6 +40,59 @@ from pyspark.sql import functions as F
 from scones.textops import minhash_bands, verify_candidate_pairs
 
 BAND_INDEX_SUBDIR = "band_index"
+INDEX_LOCK_FILE = ".index_lock"
+
+
+import contextlib as _contextlib
+
+
+@_contextlib.contextmanager
+def index_lock(
+    checkpoint_dir: str, exclusive: bool = False, timeout_sec: float = 600.0
+):
+    """Advisory flock guarding the dedup-index side tables.
+
+    The pipeline's probe/commit path (:func:`update_index_and_probe`)
+    holds it SHARED; maintenance that swaps and prunes live index dirs
+    (``consolidate_indexes``) holds it EXCLUSIVE — closing the window
+    where a concurrent probe observes no ``snapshot_id=max`` dir
+    mid-swap (silently skipping the whole committed index) or plans a
+    Spark read under a directory being rmtree'd (round-5 ADVICE,
+    maintenance.py).  flock is per-open-file, so the exclusion also
+    holds between two callers in one process.  Times out with a loud
+    error instead of deadlocking."""
+    import errno as _errno
+    import fcntl as _fcntl
+    import time as _time
+
+    os.makedirs(checkpoint_dir, exist_ok=True)
+    path = os.path.join(checkpoint_dir, INDEX_LOCK_FILE)
+    fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
+    mode = _fcntl.LOCK_EX if exclusive else _fcntl.LOCK_SH
+    deadline = _time.monotonic() + timeout_sec
+    try:
+        while True:
+            try:
+                _fcntl.flock(fd, mode | _fcntl.LOCK_NB)
+                break
+            except OSError as e:
+                if e.errno not in (_errno.EAGAIN, _errno.EACCES):
+                    raise
+                if _time.monotonic() >= deadline:
+                    kind = "exclusive" if exclusive else "shared"
+                    raise RuntimeError(
+                        f"could not acquire {kind} dedup-index lock at "
+                        f"{path} within {timeout_sec}s — is an index "
+                        "consolidation (or the pipeline daemon) running?"
+                    ) from None
+                _time.sleep(0.05)
+        yield
+    finally:
+        try:
+            _fcntl.flock(fd, _fcntl.LOCK_UN)
+        finally:
+            os.close(fd)
+
 
 
 def write_band_index(
@@ -184,6 +237,33 @@ def update_index_and_probe(
     index rows to the bucket join plus point lookups of candidate texts
     for exact verification.
     """
+    with index_lock(checkpoint_dir, exclusive=False):
+        return _update_index_and_probe_locked(
+            spark,
+            checkpoint_dir,
+            output_dir,
+            snapshot_id,
+            written,
+            committed_ids,
+            num_hashes,
+            band_size,
+            k,
+            threshold,
+        )
+
+
+def _update_index_and_probe_locked(
+    spark: SparkSession,
+    checkpoint_dir: str,
+    output_dir: str,
+    snapshot_id: int,
+    written: DataFrame,
+    committed_ids: list[int],
+    num_hashes: int = 8,
+    band_size: int = 2,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> dict:
     idx_root = os.path.join(checkpoint_dir, "band_index")
     new_docs = pipeline_doc_view(written, snapshot_id)
     write_band_index(
@@ -393,21 +473,72 @@ def write_exact_index(
     md5(text) — content identity at pipeline granularity."""
     fp = docs.select("doc_id", F.md5("text").alias("fp"))
     fp.write.mode("overwrite").parquet(fp_dir)
-    bloom_build(fp, "fp", m_bits, n_hashes).write.mode("overwrite").parquet(
-        bloom_dir
+    # m_bits/n_hashes ride WITH the words (round-5 ADVICE): a probe with
+    # different parameters would yield silent false negatives, so the
+    # persisted table carries its own parameters and probes/merges
+    # validate them, failing loudly on mismatch.
+    (
+        bloom_build(fp, "fp", m_bits, n_hashes)
+        .withColumn("m_bits", F.lit(int(m_bits)))
+        .withColumn("n_hashes", F.lit(int(n_hashes)))
+        .write.mode("overwrite")
+        .parquet(bloom_dir)
     )
 
 
 def merge_blooms(spark: SparkSession, *bloom_dirs: str) -> DataFrame:
     """Union committed Bloom tables into one bitmap: bit_or per word —
     Bloom filters compose by OR, so N snapshots' filters merge into a
-    single m/63-row table (still broadcast-sized)."""
-    words = spark.read.parquet(bloom_dirs[0]).select("widx", "bits")
-    for d in bloom_dirs[1:]:  # per-dir reads: see read_band_index
-        words = words.unionByName(
-            spark.read.parquet(d).select("widx", "bits")
+    single m/63-row table (still broadcast-sized).
+
+    When every input carries persisted ``m_bits``/``n_hashes`` columns
+    (write_exact_index), the merge VALIDATES that all inputs share one
+    parameter set — OR-ing words of differently-sized filters would
+    produce silent false negatives — and carries the parameters through
+    for downstream probe validation.  The check is a row-level
+    raise_error, so it costs no extra job."""
+    frames = [spark.read.parquet(d) for d in bloom_dirs]
+    with_params = all(
+        "m_bits" in f.columns and "n_hashes" in f.columns for f in frames
+    )
+    cols = ["widx", "bits"] + (["m_bits", "n_hashes"] if with_params else [])
+    words = frames[0].select(*cols)
+    for f in frames[1:]:  # per-dir reads: see read_band_index
+        words = words.unionByName(f.select(*cols))
+    if not with_params:
+        return words.groupBy("widx").agg(
+            F.expr("bit_or(bits)").alias("bits")
         )
-    return words.groupBy("widx").agg(F.expr("bit_or(bits)").alias("bits"))
+    merged = words.groupBy("widx").agg(
+        F.expr("bit_or(bits)").alias("bits"),
+        F.min("m_bits").alias("_m_lo"),
+        F.max("m_bits").alias("_m_hi"),
+        F.min("n_hashes").alias("_h_lo"),
+        F.max("n_hashes").alias("_h_hi"),
+    )
+    consistent = (F.col("_m_lo") == F.col("_m_hi")) & (
+        F.col("_h_lo") == F.col("_h_hi")
+    )
+    boom = F.raise_error(
+        F.concat(
+            F.lit("merge_blooms: inconsistent persisted Bloom parameters "),
+            F.lit("(m_bits "),
+            F.col("_m_lo").cast("string"),
+            F.lit("/"),
+            F.col("_m_hi").cast("string"),
+            F.lit(", n_hashes "),
+            F.col("_h_lo").cast("string"),
+            F.lit("/"),
+            F.col("_h_hi").cast("string"),
+            F.lit(") — merging them would yield false negatives"),
+        )
+    )
+    return merged.select(
+        "widx",
+        F.when(consistent, F.col("bits")).otherwise(boom).alias("bits"),
+        F.col("_m_lo").alias("m_bits"),
+        F.col("_h_lo").alias("n_hashes"),
+    )
 
 
 def exact_dups_via_bloom(
@@ -434,6 +565,29 @@ def exact_dups_via_bloom(
             "committed_doc", F.lit("")
         ).select("new_doc", "committed_doc")
     bloom = merge_blooms(spark, *committed_bloom_dirs)
+    if "m_bits" in bloom.columns:
+        # persisted parameters must equal the probe's (round-5 ADVICE:
+        # a mismatch silently yields false negatives) — row-level check,
+        # no extra job, fails loudly
+        ok = (F.col("m_bits") == int(m_bits)) & (
+            F.col("n_hashes") == int(n_hashes)
+        )
+        boom = F.raise_error(
+            F.concat(
+                F.lit(
+                    "exact_dups_via_bloom: probe parameters "
+                    f"(m_bits={int(m_bits)}, n_hashes={int(n_hashes)}) "
+                    "do not match the persisted index ("
+                ),
+                F.col("m_bits").cast("string"),
+                F.lit(", "),
+                F.col("n_hashes").cast("string"),
+                F.lit(") — probing would yield false negatives"),
+            )
+        )
+        bloom = bloom.select(
+            "widx", F.when(ok, F.col("bits")).otherwise(boom).alias("bits")
+        )
     flagged = (
         bloom_probe(new_fp, bloom, "fp", m_bits, n_hashes, id_col="new_doc")
         .filter(F.col("maybe_seen"))

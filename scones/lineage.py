@@ -212,7 +212,33 @@ class LineageStore:
                 raise StaleAttemptError(
                     f"refusing commit of snapshot {snapshot_id}: {why}"
                 )
-            os.replace(tmp, final)
+            # Publish via os.link: atomic create-if-absent, so the
+            # "published manifests are immutable" fence holds ACROSS
+            # processes too (round-5 ADVICE: the exists()+replace pair
+            # is check-then-act — two daemons on one checkpoint dir
+            # could both pass the check and the second would silently
+            # overwrite).  EEXIST from the loser translates into the
+            # same StaleAttemptError the in-process fence raises.
+            try:
+                os.link(tmp, final)
+            except FileExistsError:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
+                raise StaleAttemptError(
+                    f"refusing commit of snapshot {snapshot_id}: "
+                    "already published (concurrent writer)"
+                ) from None
+            except OSError:
+                # filesystem without hard links: keep the (process-local
+                # fenced) rename path rather than failing the commit
+                os.replace(tmp, final)
+            else:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
         if (
             self.compact_threshold > 0
             and len(self._loose_files()) >= self.compact_threshold

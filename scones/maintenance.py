@@ -153,7 +153,9 @@ def main() -> None:  # pragma: no cover — CLI entry point
     )
 
 
-def consolidate_indexes(spark: SparkSession, checkpoint_dir: str) -> dict:
+def consolidate_indexes(
+    spark: SparkSession, checkpoint_dir: str, lock_timeout_sec: float = 600.0
+) -> dict:
     """Fold the per-snapshot dedup-index side tables (band_index /
     fp_index / bloom_index, one ``snapshot_id=N`` dir per commit) into
     ONE dir under the HIGHEST committed id — the same fold trick as the
@@ -170,6 +172,26 @@ def consolidate_indexes(spark: SparkSession, checkpoint_dir: str) -> dict:
     consolidated dir renamed in.  A crash before the swap leaves every
     original untouched.
     """
+    from .incremental import (
+        BAND_INDEX_SUBDIR,
+        BLOOM_INDEX_SUBDIR,
+        FP_INDEX_SUBDIR,
+        index_lock,
+        merge_blooms,
+    )
+
+    # EXCLUSIVE index lock (round-5 ADVICE): the swap below momentarily
+    # removes the snapshot_id=max dir and later rmtree's source dirs; a
+    # concurrent update_index_and_probe (which holds the lock SHARED)
+    # would otherwise silently skip the committed index mid-swap or plan
+    # a read under a directory being deleted.
+    with index_lock(checkpoint_dir, exclusive=True, timeout_sec=lock_timeout_sec):
+        return _consolidate_indexes_locked(spark, checkpoint_dir)
+
+
+def _consolidate_indexes_locked(
+    spark: SparkSession, checkpoint_dir: str
+) -> dict:
     from .incremental import (
         BAND_INDEX_SUBDIR,
         BLOOM_INDEX_SUBDIR,

@@ -362,3 +362,24 @@ def test_retry_jitter_spreads_but_defaults_off():
         assert base * 0.75 <= d <= base * 1.25
     assert got != [1.0, 2.0, 4.0, 8.0, 10.0]
     assert got == dithered()
+
+
+def test_retry_jitter_clamps_misconfigured_fraction():
+    """jitter_frac > 1 could make a dithered delay negative and crash
+    time.sleep with ValueError (round-5 ADVICE): delays clamp at 0."""
+    import random
+
+    def boom(spark, cfg):
+        raise RuntimeError("injected")
+
+    class AlwaysLow(random.Random):
+        def random(self):  # worst case: 2r-1 = -1 -> factor 1 - f < 0
+            return 0.0
+
+    sleeps = []
+    run_daemon(
+        None, None, run_fn=boom, retry_min_sec=1.0, retry_max_sec=10.0,
+        max_iterations=4, sleep_fn=sleeps.append,
+        jitter_frac=2.0, jitter_rng=AlwaysLow(),
+    )
+    assert sleeps == [0.0, 0.0, 0.0, 0.0]

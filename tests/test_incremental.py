@@ -248,3 +248,46 @@ def test_third_snapshot_probes_two_committed_indexes(spark, tmp_path):
     assert s3["snapshot_id"] == 3
     assert s3["n_exact_dups"] == 10  # the 10 docs of file 0 have twins
     assert s3["n_near_dup_pairs"] >= 10
+
+
+def test_bloom_params_persisted_and_validated(spark, tmp_path):
+    """write_exact_index persists m_bits/n_hashes with the Bloom words;
+    a probe with different parameters fails LOUDLY instead of silently
+    missing duplicates, and merging indexes built with different
+    parameters fails too (round-5 ADVICE)."""
+    import pytest
+
+    from scones.incremental import (
+        exact_dups_via_bloom,
+        merge_blooms,
+        write_exact_index,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "alpha")], "doc_id long, text string"
+    )
+    fp_a = str(tmp_path / "fp_a")
+    bl_a = str(tmp_path / "bl_a")
+    write_exact_index(docs, fp_a, bl_a, m_bits=1 << 12, n_hashes=3)
+    persisted = spark.read.parquet(bl_a)
+    assert {"widx", "bits", "m_bits", "n_hashes"} <= set(persisted.columns)
+    assert persisted.select("m_bits").distinct().collect()[0][0] == 1 << 12
+
+    # matching parameters: the true duplicate pair comes back
+    pairs = exact_dups_via_bloom(
+        spark, docs, [fp_a], [bl_a], m_bits=1 << 12, n_hashes=3
+    ).collect()
+    assert {(r["new_doc"], r["committed_doc"]) for r in pairs} >= {(1, 1), (3, 1)}
+
+    # mismatched probe parameters: loud failure, not false negatives
+    with pytest.raises(Exception, match="do not match the persisted"):
+        exact_dups_via_bloom(
+            spark, docs, [fp_a], [bl_a], m_bits=1 << 13, n_hashes=3
+        ).collect()
+
+    # merging two indexes with different parameters: loud failure
+    fp_b = str(tmp_path / "fp_b")
+    bl_b = str(tmp_path / "bl_b")
+    write_exact_index(docs, fp_b, bl_b, m_bits=1 << 13, n_hashes=3)
+    with pytest.raises(Exception, match="inconsistent persisted Bloom"):
+        merge_blooms(spark, bl_a, bl_b).collect()

@@ -253,3 +253,24 @@ def test_consolidation_crash_window_leaves_probe_correct_state(spark, tmp_path):
     # after the self-healing fold: single dir, UNDUPLICATED rows
     fp = spark.read.parquet(str(ck / "fp_index" / "snapshot_id=2"))
     assert fp.count() == 6
+
+
+def test_consolidation_respects_index_lock(spark, tmp_path):
+    """consolidate_indexes must not swap/prune live index dirs while a
+    pipeline probe holds the shared index lock (round-5 ADVICE): it
+    times out loudly instead of racing."""
+    import pytest
+
+    from scones.incremental import index_lock
+    from scones.maintenance import consolidate_indexes
+
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(ckpt, exist_ok=True)
+    with index_lock(ckpt, exclusive=False):
+        # two shared holders coexist (probe + probe)
+        with index_lock(ckpt, exclusive=False, timeout_sec=1.0):
+            pass
+        with pytest.raises(RuntimeError, match="index lock"):
+            consolidate_indexes(spark, ckpt, lock_timeout_sec=0.3)
+    # lock released -> proceeds (no index dirs: returns empty summary)
+    assert consolidate_indexes(spark, ckpt, lock_timeout_sec=1.0) == {}
