@@ -3317,34 +3317,47 @@ def entry(spark: SparkSession) -> DataFrame:
 # ANN/embedding entries registered LAST.  Emit the historically-truncated
 # tail and this round's NEW entries FIRST, so a budget cut can only ever
 # drop queries that already have green rows from earlier rounds.
-_RUN_FIRST = [
-    "ann_hyperplane_topk",
-    "ann_ivf_topk",
-    "ann_ivf_learned_fullprobe",
-    "embedding_near_dup",
-    # round-5 additions: new entries run before the long-green backlog
-    "domain_profile",
-    "paragraph_dedup",
-    "dedup_incremental",
-    "dsir_weights",
-    "canonical_urls",
-    "url_dedup",
-    "semdedup",
-    "c4_line_filter",
-    "dedup_lines_in_doc",
-    "length_histogram",
-    "quality_classifier",
-    "url_blocklist",
-    "contamination_frac",
-    "ccnet_buckets",
-    "label_centroids",
-]
+def _correctness_priority() -> list[str]:
+    """Computed check-me-first ordering (round-5 verdict item 1): the
+    driver's correctness budget caps near ~50 rows per round, and a
+    hand-maintained priority list went stale twice — so derive it from
+    the CORRECTNESS_r*.json artifacts themselves:
+
+      1. queries with NO row in any prior round's artifact (never
+         driver-checked) come first,
+      2. then every query ordered by the round its latest row appeared
+         in (least-recently-checked first),
+      3. registration order breaks ties.
+
+    Unreadable/absent artifacts degrade to registration order.  This is
+    ordering metadata only — the query set and each query's results are
+    untouched.
+    """
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    last_checked: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        try:
+            rnd = int(path.rsplit("_r", 1)[-1].split(".")[0])
+            rows = _json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name in rows:
+            last_checked[name] = max(last_checked.get(name, 0), rnd)
+    reg = list(_QUERIES)
+    return sorted(
+        reg, key=lambda n: (last_checked.get(n, 0), reg.index(n))
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    first = [n for n in _RUN_FIRST if n in _QUERIES]
-    rest = [n for n in _QUERIES if n not in _RUN_FIRST]
-    return {n: _QUERIES[n] for n in first + rest}
+    order = _correctness_priority()
+    return {n: _QUERIES[n] for n in order}
 
 
 def oracle_sql() -> dict[str, str]:
