@@ -934,7 +934,16 @@ def ccnet_buckets_hist_query(spark, sf_dir):
     from scones.textops import lm_perplexity as lmp
 
     docs = _t(spark, sf_dir, "documents")
-    scored = lmp(docs).join(docs.select("doc_id", "lang"), "doc_id")
+    # lazily checkpointed: histogram_buckets references the scored table
+    # three times (histogram, solid branch, straddle branch) — without
+    # the checkpoint each reference inlines the whole LM subplan.  The
+    # materialized table is the narrow (doc_id, score, lang) relation
+    # CCNet itself persists at this point of its pipeline.
+    scored = (
+        lmp(docs)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
     return histogram_buckets(scored, "bits_per_bigram", group_col="lang")
 
 
