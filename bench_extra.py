@@ -83,9 +83,14 @@ def main() -> None:
         out[key] = {"min": min(ts), "median": round(statistics.median(ts), 4), "samples": ts}
         print(json.dumps({"query": key, **out[key]}), flush=True)
 
+    zipf_ok = set()
+    if args.zipf:
+        import bench as benchmod
+
+        zipf_ok = set(benchmod.ZIPF_BENCH_QUERIES)
     for name in names:
         run_one(name, args.sf_dir, name)
-        if args.zipf and zipf_dir:
+        if zipf_dir and name in zipf_ok:
             run_one(name, zipf_dir, f"{name}@zipf")
 
     print(json.dumps({"summary": {k: v["min"] for k, v in out.items()}}))
